@@ -1,0 +1,131 @@
+"""Image-feature banks: precomputed per-viewpoint 36-view features.
+
+TPU-native replacement for the reference ImageFeatures family
+(tasks/R2R/env.py:284-388).  Instead of a python dict of (scan_viewpoint) ->
+(36, 2048) arrays consulted per observation on the host, features are packed
+once into a single (total_nodes, 36, D) bank indexed by global node index so
+observation assembly is a device gather inside ``jit``.
+
+The TSV format is byte-identical to the reference store
+(scripts/precompute_img_features.py:31,160-168): columns
+``scanId, viewpointId, image_w, image_h, vfov, features`` with features =
+base64 float32 (36, 2048).  A C++ fast decoder (native/) accelerates the
+2.9GB parse when built; numpy is the fallback.
+"""
+
+from __future__ import annotations
+
+import base64
+import csv
+import sys
+
+import numpy as np
+
+from .graph import NUM_VIEWS, GraphBank
+
+MEAN_POOLED_DIM = 2048
+IMAGE_W = 640
+IMAGE_H = 480
+VFOV = 60
+LOC_EMBED_DIM = 128
+FEATURE_WITH_LOC_DIM = MEAN_POOLED_DIM + LOC_EMBED_DIM  # 2176
+
+csv.field_size_limit(sys.maxsize)
+
+
+def zero_feature_bank(graph_bank: GraphBank, dim: int = MEAN_POOLED_DIM, dtype=np.float32):
+    """NoImageFeatures equivalent (tasks/R2R/env.py:337-348): all zeros."""
+    return np.zeros((graph_bank.total_nodes, NUM_VIEWS, dim), dtype=dtype)
+
+
+def random_feature_bank(
+    graph_bank: GraphBank, dim: int = MEAN_POOLED_DIM, seed: int = 0, dtype=np.float32
+):
+    """Synthetic features for tests/benchmarks (no TSV download needed)."""
+    rng = np.random.RandomState(seed)
+    bank = rng.randn(graph_bank.total_nodes, NUM_VIEWS, dim).astype(np.float32)
+    return bank.astype(dtype)
+
+
+def load_tsv_feature_bank(
+    tsv_paths,
+    graph_bank: GraphBank,
+    dtype=np.float32,
+    strict: bool = False,
+):
+    """Parse mean-pooled feature TSV store(s) into a packed bank.
+
+    Multiple stores are concatenated along the feature axis (the reference
+    concatenates imagenet+places365 the same way, tasks/R2R/env.py:372-375).
+    Viewpoints missing from the store keep zero features; with ``strict``
+    every included node must be present.
+    """
+    if isinstance(tsv_paths, str):
+        tsv_paths = [tsv_paths]
+    dim = MEAN_POOLED_DIM * len(tsv_paths)
+    bank = np.zeros((graph_bank.total_nodes, NUM_VIEWS, dim), dtype=np.float32)
+    seen = np.zeros((graph_bank.total_nodes,), dtype=bool)
+    fieldnames = ["scanId", "viewpointId", "image_w", "image_h", "vfov", "features"]
+    for k, path in enumerate(tsv_paths):
+        try:
+            from . import native_io
+
+            rows = native_io.read_feature_tsv(path)
+        except Exception:
+            rows = _read_feature_tsv_py(path, fieldnames)
+        for scan_id, viewpoint_id, feats in rows:
+            if scan_id not in graph_bank.graphs:
+                continue
+            g = graph_bank.global_index(scan_id, viewpoint_id)
+            bank[g, :, k * MEAN_POOLED_DIM : (k + 1) * MEAN_POOLED_DIM] = feats
+            seen[g] = True
+    if strict:
+        for sid in graph_bank.scan_ids:
+            g0 = graph_bank.global_index(sid, graph_bank.graphs[sid].node_ids[0])
+        missing = int((~seen).sum())
+        if missing:
+            raise ValueError(f"{missing} viewpoints missing from feature store")
+    return bank.astype(dtype)
+
+
+def _read_feature_tsv_py(path, fieldnames):
+    with open(path, "rt") as f:
+        reader = csv.DictReader(f, delimiter="\t", fieldnames=fieldnames)
+        for item in reader:
+            assert int(item["image_h"]) == IMAGE_H
+            assert int(item["image_w"]) == IMAGE_W
+            assert int(item["vfov"]) == VFOV
+            feats = np.frombuffer(
+                base64.decodebytes(item["features"].encode("utf-8")),
+                dtype=np.float32,
+            ).reshape((NUM_VIEWS, MEAN_POOLED_DIM))
+            yield item["scanId"], item["viewpointId"], feats
+
+
+def write_tsv_feature_bank(path, graph_bank: GraphBank, bank: np.ndarray):
+    """Emit the reference TSV schema from a packed bank (for the feature
+    precompute pipeline; scripts/precompute_img_features.py:160-168)."""
+    with open(path, "wt") as f:
+        writer = csv.DictWriter(
+            f,
+            delimiter="\t",
+            fieldnames=["scanId", "viewpointId", "image_w", "image_h", "vfov", "features"],
+        )
+        for sid in graph_bank.scan_ids:
+            g = graph_bank.graphs[sid]
+            for local, vid in enumerate(g.node_ids):
+                if not g.included[local]:
+                    continue
+                row = bank[graph_bank.offsets[graph_bank.scan_ids.index(sid)] + local]
+                writer.writerow(
+                    {
+                        "scanId": sid,
+                        "viewpointId": vid,
+                        "image_w": IMAGE_W,
+                        "image_h": IMAGE_H,
+                        "vfov": VFOV,
+                        "features": base64.b64encode(
+                            np.ascontiguousarray(row, dtype=np.float32).tobytes()
+                        ).decode("utf-8"),
+                    }
+                )

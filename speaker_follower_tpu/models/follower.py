@@ -1,0 +1,189 @@
+"""Follower models: instruction encoder + panoramic-attention action decoder.
+
+Reference: tasks/R2R/model.py:43-104 (EncoderLSTM) and :355-397
+(AttnDecoderLSTM).  Dims are kept identical (hidden 512, word emb 300,
+action/feature 2048+128) so released checkpoints can be converted for
+parity testing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import attention as attn
+from .core import (
+    dropout,
+    embedding,
+    embedding_init,
+    linear,
+    linear_init,
+    lstm_cell,
+    lstm_cell_init,
+    masked_lstm_scan,
+)
+
+
+def encoder_init(
+    key,
+    vocab_size: int,
+    embedding_size: int = 300,
+    hidden_size: int = 512,
+    bidirectional: bool = False,
+    glove=None,
+    dtype=jnp.float32,
+):
+    """EncoderLSTM params. With ``bidirectional`` the reference halves the
+    hidden size at construction (train.py:194) — callers pass the halved
+    size here, matching ``enc_hidden_size``."""
+    k = jax.random.split(key, 4)
+    num_directions = 2 if bidirectional else 1
+    p = {
+        "embedding": embedding_init(k[0], vocab_size, embedding_size, dtype),
+        "lstm_fwd": lstm_cell_init(k[1], embedding_size, hidden_size, dtype),
+        "encoder2decoder": linear_init(
+            k[3], hidden_size * num_directions, hidden_size * num_directions
+        ),
+    }
+    if bidirectional:
+        p["lstm_bwd"] = lstm_cell_init(k[2], embedding_size, hidden_size, dtype)
+    if glove is not None:
+        # reference overwrites the whole matrix with GloVe AFTER the
+        # padding_idx zeroing (model.py:55-59), so row 0 is glove's row 0
+        p["embedding"]["w"] = jnp.asarray(glove, dtype)
+    else:
+        # nn.Embedding(padding_idx=0) zero-initializes row 0
+        p["embedding"]["w"] = p["embedding"]["w"].at[0].set(0.0)
+    return p
+
+
+def encoder_apply(
+    p,
+    seq,
+    lengths,
+    *,
+    dropout_ratio: float = 0.5,
+    use_glove: bool = True,
+    deterministic: bool = True,
+    rng=None,
+):
+    """Returns (ctx (B, L, H*dirs), decoder_h0 (B, H*dirs), c0 (B, H*dirs)).
+
+    Semantics parity with model.py:81-104: GloVe embeddings skip the input
+    dropout; packed-sequence behavior is emulated by masked scan (final
+    state at t = len-1, zero ctx at padding); for the bi-LSTM the final
+    states are concat(h_last_layer_bwd? ...) — torch orders
+    (enc_h_t[-1], enc_h_t[-2]) = (backward, forward) for a single-layer
+    bi-LSTM, and ctx is concat(forward, backward) per timestep.
+    """
+    b = seq.shape[0]
+    embeds = embedding(p["embedding"], seq)  # (B, L, E)
+    if not use_glove:
+        rng, k = jax.random.split(rng)
+        embeds = dropout(k, embeds, dropout_ratio, deterministic)
+    hidden = p["lstm_fwd"]["w_hh"].shape[-1]
+    h0 = jnp.zeros((b, hidden), embeds.dtype)
+    c0 = jnp.zeros((b, hidden), embeds.dtype)
+
+    ctx_f, (h_f, c_f) = masked_lstm_scan(p["lstm_fwd"], embeds, lengths, h0, c0)
+    if "lstm_bwd" in p:
+        ctx_b, (h_b, c_b) = masked_lstm_scan(
+            p["lstm_bwd"], embeds, lengths, h0, c0, reverse=True
+        )
+        ctx = jnp.concatenate([ctx_f, ctx_b], axis=-1)
+        # torch cat((enc_h_t[-1], enc_h_t[-2])): last = backward direction
+        h_t = jnp.concatenate([h_b, h_f], axis=-1)
+        c_t = jnp.concatenate([c_b, c_f], axis=-1)
+    else:
+        ctx = ctx_f
+        h_t, c_t = h_f, c_f
+
+    decoder_init = jnp.tanh(linear(p["encoder2decoder"], h_t))
+    if rng is not None:
+        rng, k = jax.random.split(rng)
+        ctx = dropout(k, ctx, dropout_ratio, deterministic)
+    return ctx, decoder_init, c_t
+
+
+def decoder_init_params(
+    key,
+    embedding_size: int = 2048 + 128,  # action embedding size
+    hidden_size: int = 512,
+    feature_size: int = 2048 + 128,
+    dtype=jnp.float32,
+):
+    """AttnDecoderLSTM params (model.py:355-375)."""
+    k = jax.random.split(key, 4)
+    return {
+        "lstm": lstm_cell_init(k[0], embedding_size + feature_size, hidden_size, dtype),
+        "visual_attention": attn.visual_soft_dot_init(k[1], hidden_size, feature_size),
+        "text_attention": attn.soft_dot_attention_init(k[2], hidden_size),
+        "decoder2action": attn.eltwise_prod_scoring_init(k[3], hidden_size, embedding_size),
+    }
+
+
+def decoder_step(
+    p,
+    u_t_prev,  # (B, E) previous action embedding
+    all_u_t,  # (B, A, E) candidate action embeddings
+    visual_context,  # (B, V, F) panorama features
+    h_0,
+    c_0,
+    ctx,  # (B, L, H)
+    ctx_mask=None,  # (B, L) True = masked
+    *,
+    dropout_ratio: float = 0.5,
+    deterministic: bool = True,
+    rng=None,
+):
+    """One decoder step (model.py:377-397).
+
+    Returns (h_1, c_1, text_alpha, logit, visual_alpha).  Invalid-action
+    masking of the logits is the agent's job (follower.py:477).
+    """
+    feature, alpha_v = attn.visual_soft_dot(p["visual_attention"], h_0, visual_context)
+    concat_input = jnp.concatenate([u_t_prev, feature], axis=-1)
+    if rng is not None:
+        rng, k = jax.random.split(rng)
+        concat_input = dropout(k, concat_input, dropout_ratio, deterministic)
+    h_1, c_1 = lstm_cell(p["lstm"], concat_input, h_0, c_0)
+    h_1_drop = h_1
+    if rng is not None:
+        rng, k = jax.random.split(rng)
+        h_1_drop = dropout(k, h_1, dropout_ratio, deterministic)
+    h_tilde, alpha = attn.soft_dot_attention(
+        p["text_attention"], h_1_drop, ctx, ctx_mask
+    )
+    logit = attn.eltwise_prod_scoring(p["decoder2action"], h_tilde, all_u_t)
+    return h_1, c_1, alpha, logit, alpha_v
+
+
+def init_follower(
+    key,
+    vocab_size: int,
+    *,
+    word_embedding_size: int = 300,
+    hidden_size: int = 512,
+    action_embedding_size: int = 2048 + 128,
+    feature_size: int = 2048 + 128,
+    bidirectional: bool = False,
+    glove=None,
+):
+    """Full follower param pytree (encoder + decoder)."""
+    k_enc, k_dec = jax.random.split(key)
+    enc_hidden = hidden_size // 2 if bidirectional else hidden_size
+    return {
+        "encoder": encoder_init(
+            k_enc,
+            vocab_size,
+            word_embedding_size,
+            enc_hidden,
+            bidirectional=bidirectional,
+            glove=glove,
+        ),
+        "decoder": decoder_init_params(
+            k_dec, action_embedding_size, hidden_size, feature_size
+        ),
+    }

@@ -1,0 +1,39 @@
+"""Path registry (replaces reference tasks/R2R/paths.py + vocab.py).
+
+All paths are resolvable relative to a data root; defaults point at the
+reference checkout's data so the in-repo sub-splits and vocabs work out of
+the box without downloads.
+"""
+
+from __future__ import annotations
+
+import os
+
+# Default to the read-only reference checkout's data (connectivity graphs,
+# in-repo sub-splits, vocabs, GloVe) unless overridden by env var.
+DATA_ROOT = os.environ.get("SF_TPU_DATA_ROOT", "/root/reference")
+
+CONNECTIVITY_DIR = os.path.join(DATA_ROOT, "connectivity")
+R2R_DATA_DIR = os.path.join(DATA_ROOT, "tasks/R2R/data")
+
+TRAIN_VOCAB = os.path.join(R2R_DATA_DIR, "train_vocab.txt")
+SUBTRAIN_VOCAB = os.path.join(R2R_DATA_DIR, "sub_train_vocab.txt")
+TRAINVAL_VOCAB = os.path.join(R2R_DATA_DIR, "trainval_vocab.txt")
+TRAIN_GLOVE = os.path.join(R2R_DATA_DIR, "train_glove.npy")
+TRAINVAL_GLOVE = os.path.join(R2R_DATA_DIR, "trainval_glove.npy")
+
+MEAN_POOLED_FEATURE_STORES = {
+    "imagenet": os.path.join(DATA_ROOT, "img_features/ResNet-152-imagenet.tsv"),
+    "places365": os.path.join(DATA_ROOT, "img_features/ResNet-152-places365.tsv"),
+}
+
+# Writable output locations live in this repo.
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULT_DIR = os.path.join(REPO_ROOT, "results")
+SNAPSHOT_DIR = os.path.join(REPO_ROOT, "snapshots")
+PLOT_DIR = os.path.join(REPO_ROOT, "plots")
+CACHE_DIR = os.path.join(REPO_ROOT, ".cache")
+
+
+def split_path(split: str) -> str:
+    return os.path.join(R2R_DATA_DIR, f"R2R_{split}.json")

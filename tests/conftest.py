@@ -6,7 +6,12 @@ the driver separately dry-runs the multi-chip path via __graft_entry__.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force tests onto 8 virtual CPU devices.  NOTE: this environment's
+# sitecustomize registers the tunneled axon TPU backend at interpreter
+# startup (before conftest) and latches jax_platforms=axon, so the env-var
+# route (JAX_PLATFORMS=cpu) is ignored here — jax.config.update after
+# import is the reliable override.  XLA_FLAGS must still be set before the
+# first backend initialization.
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +22,16 @@ import sys
 
 import numpy as np
 import pytest
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare against torch float32; JAX's default matmul precision
+# is reduced (bf16-ish passes, ~3e-3 error) — pin full precision for tests.
+# Production code keeps the fast default (bf16 on the TPU MXU).
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)

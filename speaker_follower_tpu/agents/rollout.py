@@ -1,0 +1,253 @@
+"""On-device follower rollouts: the whole episode loop under lax.scan.
+
+This replaces the reference's per-step host loop (_rollout_with_loss,
+tasks/R2R/follower.py:430-539) — where each timestep crossed
+host->C++ sim (~36 makeActions) and host->GPU — with a single XLA program:
+encoder + scan over [observe -> decoder step -> loss -> action select ->
+env step].  Feedback modes (teacher / argmax / sample) are static branches.
+
+Loss parity (follower.py:477-505):
+  * invalid actions masked to -inf before CE;
+  * target = teacher action, or -1 (ignored) for already-ended episodes;
+  * per-step loss = mean CE over non-ignored episodes; total = sum over
+    steps (unnormalized by episode length, follower.py:538);
+  * steps after all episodes end contribute 0 (the reference breaks out).
+
+Trajectory recording parity: the stop step records a duplicated final
+state (ended is updated after recording, follower.py:507,518-530), and
+action scores are log-probs of the chosen action.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..env import vecenv
+from ..models import follower as fmodels
+from ..models.attention import NEG_INF
+
+
+class RolloutOutput(NamedTuple):
+    loss: jnp.ndarray  # scalar
+    nodes: jnp.ndarray  # (B, T) node after each step
+    headings: jnp.ndarray  # (B, T) heading step after each step
+    elevs: jnp.ndarray  # (B, T) elevation row after each step
+    actions: jnp.ndarray  # (B, T) chosen action index
+    action_scores: jnp.ndarray  # (B, T) log-prob of chosen action
+    active: jnp.ndarray  # (B, T) True if episode was live at this step
+    teacher: jnp.ndarray  # (B, T) teacher action (or -1 once ended)
+    score: jnp.ndarray  # (B,) summed log-prob while live
+    final_state: vecenv.EnvState
+
+
+def _masked_log_softmax(logit, valid):
+    logit = jnp.where(valid, logit, NEG_INF)
+    return logit, jax.nn.log_softmax(logit, axis=-1)
+
+
+def _select_action(feedback, logit, log_probs, target, valid, rng):
+    if feedback == "teacher":
+        return jnp.maximum(target, 0)
+    if feedback == "argmax":
+        return jnp.argmax(logit, axis=-1).astype(jnp.int32)
+    if feedback == "sample":
+        # categorical over the valid-masked logits (follower.py:491-497)
+        return jax.random.categorical(rng, log_probs, axis=-1).astype(jnp.int32)
+    raise ValueError(f"invalid feedback option {feedback!r}")
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "feedback",
+        "episode_len",
+        "deterministic",
+        "dropout_ratio",
+        "use_glove",
+        "forced",
+    ),
+)
+def rollout(
+    params,
+    tables: vecenv.EnvTables,
+    batch,
+    rng,
+    *,
+    feedback: str = "teacher",
+    episode_len: int = 10,
+    deterministic: bool = True,
+    dropout_ratio: float = 0.5,
+    use_glove: bool = True,
+    forced: bool = False,
+) -> RolloutOutput:
+    """Run a full batched episode.
+
+    ``batch`` needs: scan, start_node, goal_node, heading, seq, seq_mask,
+    seq_length — all device arrays (see data/dataset.encode_batch).  With
+    ``forced=True``, ``batch["forced_actions"]`` (B, T) and
+    ``batch["forced_len"]`` (B,) replace the feedback policy: the rollout
+    replays the given action sequence and scores it (the reference's
+    _score_obs_actions_and_instructions, follower.py:342-428).
+    """
+    rng, enc_key = jax.random.split(rng)
+    ctx, h_t, c_t = fmodels.encoder_apply(
+        params["encoder"],
+        batch["seq"],
+        batch["seq_length"],
+        dropout_ratio=dropout_ratio,
+        use_glove=use_glove,
+        deterministic=deterministic,
+        rng=enc_key,
+    )
+    seq_mask = batch["seq_mask"]
+    goal = batch["goal_node"]
+
+    state = vecenv.reset(batch["scan"], batch["start_node"], batch["heading"])
+    b = state.node.shape[0]
+    emb_dim = tables.features.shape[-1] + vecenv.LOC_EMBED_DIM
+    u_prev = jnp.zeros((b, emb_dim), ctx.dtype)  # decoder.u_begin
+
+    if forced:
+        forced_actions = batch["forced_actions"]
+        forced_len = batch["forced_len"]
+
+    def step_fn(carry, t):
+        state, h, c, u_prev, rng = carry
+        obs = vecenv.observe(tables, state, goal)
+        rng, drop_key, sample_key = jax.random.split(rng, 3)
+
+        h1, c1, alpha, logit, alpha_v = fmodels.decoder_step(
+            params["decoder"],
+            u_prev,
+            obs.action_embedding,
+            obs.pano_feature,
+            h,
+            c,
+            ctx,
+            seq_mask,
+            dropout_ratio=dropout_ratio,
+            deterministic=deterministic,
+            rng=drop_key,
+        )
+        logit, log_probs = _masked_log_softmax(logit, obs.action_valid)
+
+        ended = state.done
+        if forced:
+            in_range = t < forced_len
+            target = jnp.where(in_range, forced_actions[:, t], -1)
+            a_t = jnp.maximum(target, 0)
+            live = in_range
+        else:
+            target = jnp.where(ended, -1, obs.teacher)
+            a_t = _select_action(
+                feedback, logit, log_probs, target, obs.action_valid, sample_key
+            )
+            live = ~ended
+
+        # per-step CE, mean over non-ignored episodes (torch CrossEntropyLoss
+        # with ignore_index=-1)
+        tgt_safe = jnp.maximum(target, 0)
+        ce = -jnp.take_along_axis(log_probs, tgt_safe[:, None], axis=1)[:, 0]
+        valid_tgt = target >= 0
+        count = valid_tgt.sum()
+        loss_t = jnp.where(
+            count > 0, (ce * valid_tgt).sum() / jnp.maximum(count, 1), 0.0
+        )
+
+        # log-prob of the chosen action (reference action_scores)
+        a_score = jnp.take_along_axis(log_probs, a_t[:, None], axis=1)[:, 0]
+
+        new_state = vecenv.step(tables, state, a_t)
+        u_next = jnp.take_along_axis(
+            obs.action_embedding, a_t[:, None, None], axis=1
+        )[:, 0]
+        u_next = jnp.where(live[:, None], u_next, u_prev)
+
+        out = (
+            new_state.node,
+            new_state.heading,
+            new_state.elev,
+            a_t,
+            a_score,
+            live,
+            target,
+            loss_t,
+        )
+        return (new_state, h1, c1, u_next, rng), out
+
+    (final_state, _, _, _, _), outs = jax.lax.scan(
+        step_fn,
+        (state, h_t, c_t, u_prev, rng),
+        jnp.arange(episode_len),
+    )
+    nodes, headings, elevs, actions, a_scores, active, targets, losses = outs
+    # scan stacks along axis 0 (time); put batch first
+    to_bt = lambda x: jnp.swapaxes(x, 0, 1)
+    active_bt = to_bt(active)
+    score = (to_bt(a_scores) * active_bt).sum(axis=1)
+    return RolloutOutput(
+        loss=losses.sum(),
+        nodes=to_bt(nodes),
+        headings=to_bt(headings),
+        elevs=to_bt(elevs),
+        actions=to_bt(actions),
+        action_scores=to_bt(a_scores),
+        active=active_bt,
+        teacher=to_bt(targets),
+        score=score,
+        final_state=final_state,
+    )
+
+
+def trajectories_from_rollout(out: RolloutOutput, batch, graph_bank):
+    """Convert fixed-shape rollout arrays into reference-format trajectory
+    dicts: [{'instr_id', 'trajectory': [(viewpointId, heading_rad,
+    elevation_rad), ...], 'score', 'scores', 'actions'}]."""
+    import numpy as np
+
+    from ..data.graph import ANGLE_INC
+
+    nodes = np.asarray(out.nodes)
+    headings = np.asarray(out.headings)
+    elevs = np.asarray(out.elevs)
+    actions = np.asarray(out.actions)
+    a_scores = np.asarray(out.action_scores)
+    active = np.asarray(out.active)
+    score = np.asarray(out.score)
+
+    results = []
+    b, t_max = nodes.shape
+    for i in range(b):
+        sid = batch["scan_id"][i]
+        g = graph_bank.graphs[sid]
+        start_vp = g.node_ids[int(batch["start_node"][i])]
+        start_heading = float(batch["heading"][i]) * ANGLE_INC
+        traj = [(start_vp, start_heading, 0.0)]
+        acts, scs = [], []
+        for t in range(t_max):
+            if not active[i, t]:
+                break
+            traj.append(
+                (
+                    g.node_ids[int(nodes[i, t])],
+                    float(headings[i, t]) * ANGLE_INC,
+                    (float(elevs[i, t]) - 1.0) * ANGLE_INC,
+                )
+            )
+            acts.append(int(actions[i, t]))
+            scs.append(float(a_scores[i, t]))
+        results.append(
+            {
+                "instr_id": batch["instr_id"][i],
+                "trajectory": traj,
+                "actions": acts,
+                "scores": scs,
+                "score": float(score[i]),
+                "instr_encoding": batch["item"][i].get("instr_encoding"),
+            }
+        )
+    return results

@@ -1,0 +1,392 @@
+"""Training loops for follower and speaker.
+
+Replaces tasks/R2R/train.py + train_speaker.py: same recipe (Adam 1e-4,
+weight decay 5e-4, batch 100, episode len 10, instruction len 80, dropout
+0.5, validation every 100 iters, best-checkpoint tracking keyed on
+success_rate / BLEU, CSV logging), but the inner loop is a single jitted
+train step — encoder, full episode rollout, loss, backward, and optimizer
+update all in one XLA program.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents import rollout as ra
+from ..agents import speaker as sa
+from ..data.dataset import encode_batch
+from ..data.text import batch_instructions
+from . import checkpoint as ckpt
+from .optim import adam_with_torch_wd, make_frozen_mask
+
+MAX_INPUT_LENGTH = 80  # train.py:26
+EPISODE_LEN = 10  # train.py:29
+LOG_EVERY = 100  # train.py:39
+SAVE_EVERY = 1000  # train.py:40
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 5e-4
+    dropout_ratio: float = 0.5
+    feedback: str = "sample"  # train.py default feedback_method
+    episode_len: int = EPISODE_LEN
+    max_instruction_length: int = MAX_INPUT_LENGTH
+    use_glove: bool = True
+    log_every: int = LOG_EVERY
+    save_every: int = SAVE_EVERY
+    snapshot_dir: str = "snapshots"
+    result_dir: str = "results"
+    plot_dir: str = "plots"
+    model_prefix: str = "follower"
+    no_save: bool = False
+
+
+def _device_batch(enc):
+    keys = ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
+    return {k: jnp.asarray(enc[k]) for k in keys}
+
+
+class FollowerTrainer:
+    def __init__(self, params, tables, train_ds, graph_bank, cfg: TrainConfig,
+                 val_envs=None, rng=None):
+        self.params = params
+        self.tables = tables
+        self.train_ds = train_ds
+        self.graph_bank = graph_bank
+        self.cfg = cfg
+        self.val_envs = val_envs or {}
+        self.rng = rng if rng is not None else jax.random.PRNGKey(1)
+
+        frozen = {"encoder/embedding/w"} if cfg.use_glove else set()
+        mask = make_frozen_mask(params, frozen)
+        self.tx = adam_with_torch_wd(
+            cfg.learning_rate, cfg.weight_decay, trainable_mask=mask
+        )
+        self.opt_state = self.tx.init(params)
+        self.data_log = defaultdict(list)
+        self._step_fn = self._build_step_fn()
+
+    def _build_step_fn(self):
+        cfg = self.cfg
+
+        def loss_fn(params, tables, batch, rng):
+            out = ra.rollout(
+                params,
+                tables,
+                batch,
+                rng,
+                feedback=cfg.feedback,
+                episode_len=cfg.episode_len,
+                deterministic=False,
+                dropout_ratio=cfg.dropout_ratio,
+                use_glove=cfg.use_glove,
+            )
+            return out.loss
+
+        @jax.jit
+        def step(params, opt_state, tables, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, tables, batch, rng)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    def train_interval(self, n_iters: int):
+        losses = []
+        for _ in range(n_iters):
+            batch = self.train_ds.next_minibatch()
+            enc = encode_batch(
+                batch, self.graph_bank,
+                max_instruction_length=self.cfg.max_instruction_length,
+            )
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, loss = self._step_fn(
+                self.params, self.opt_state, self.tables, _device_batch(enc), step_rng
+            )
+            losses.append(float(loss))
+        return losses
+
+    def test(self, ds, feedback="argmax", allow_cheat=False, collect_loss=False):
+        """Evaluate once per instruction (reference BaseAgent.test,
+        follower.py:135-192): iterate minibatches until ids repeat."""
+        assert allow_cheat or feedback in ("argmax", "sample")
+        ds.reset_epoch()
+        results = {}
+        losses = []
+        looped = False
+        while not looped:
+            batch = ds.next_minibatch()
+            enc = encode_batch(
+                batch, self.graph_bank,
+                max_instruction_length=self.cfg.max_instruction_length,
+            )
+            self.rng, step_rng = jax.random.split(self.rng)
+            out = ra.rollout(
+                self.params, self.tables, _device_batch(enc), step_rng,
+                feedback=feedback, episode_len=self.cfg.episode_len,
+                deterministic=True, use_glove=self.cfg.use_glove,
+            )
+            if collect_loss:
+                losses.append(float(out.loss))
+            for traj in ra.trajectories_from_rollout(out, enc, self.graph_bank):
+                if traj["instr_id"] in results:
+                    looped = True
+                else:
+                    results[traj["instr_id"]] = traj
+        return results, losses
+
+    def train(self, n_iters: int, log_every: int | None = None):
+        """Full training loop with periodic validation + best-ckpt tracking
+        (train.py:68-166)."""
+        cfg = self.cfg
+        log_every = log_every or cfg.log_every
+        start = time.time()
+        best_metrics = {}
+        split_string = "-".join(self.train_ds.splits)
+
+        for idx in range(0, n_iters, log_every):
+            interval = min(log_every, n_iters - idx)
+            it = idx + interval
+            self.data_log["iteration"].append(it)
+            losses = self.train_interval(interval)
+            train_loss_avg = float(np.mean(losses))
+            self.data_log["train loss"].append(train_loss_avg)
+            loss_str = "train loss: %.4f" % train_loss_avg
+
+            for env_name, (val_ds, evaluator) in sorted(self.val_envs.items()):
+                # validation loss under training conditions (teacher access)
+                _, val_losses = self.test(
+                    val_ds, feedback=cfg.feedback.split("+")[-1]
+                    if cfg.feedback != "teacher" else "teacher",
+                    allow_cheat=True, collect_loss=True,
+                )
+                val_loss_avg = float(np.mean(val_losses)) if val_losses else 0.0
+                self.data_log["%s loss" % env_name].append(val_loss_avg)
+                # eval-condition results
+                results, _ = self.test(val_ds, feedback="argmax")
+                summary, _ = evaluator.score_results(results)
+                loss_str += ", %s loss: %.4f" % (env_name, val_loss_avg)
+                for metric, val in sorted(summary.items()):
+                    self.data_log["%s %s" % (env_name, metric)].append(val)
+                    if metric == "success_rate":
+                        loss_str += ", %s: %.3f" % (metric, val)
+                        key = (env_name, metric)
+                        if key not in best_metrics or best_metrics[key] < val:
+                            best_metrics[key] = val
+                            if not cfg.no_save:
+                                path = os.path.join(
+                                    cfg.snapshot_dir,
+                                    "%s_%s_iter_%d_%s-%s=%.3f"
+                                    % (cfg.model_prefix, split_string, it,
+                                       env_name, metric, val),
+                                )
+                                ckpt.save_params(path, self.params)
+
+            print(
+                "%.1fm (%d %d%%) %s"
+                % ((time.time() - start) / 60, it, it * 100 // n_iters, loss_str)
+            )
+            if not cfg.no_save:
+                if cfg.save_every and it % cfg.save_every == 0:
+                    ckpt.save_params(
+                        os.path.join(
+                            cfg.snapshot_dir,
+                            "%s_%s_iter_%d" % (cfg.model_prefix, split_string, it),
+                        ),
+                        self.params,
+                    )
+                self._write_csv(split_string)
+        return best_metrics
+
+    def _write_csv(self, split_string):
+        os.makedirs(self.cfg.plot_dir, exist_ok=True)
+        path = os.path.join(
+            self.cfg.plot_dir, "%s_%s_log.csv" % (self.cfg.model_prefix, split_string)
+        )
+        cols = list(self.data_log.keys())
+        n = max(len(v) for v in self.data_log.values())
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(cols)
+            for i in range(n):
+                w.writerow(
+                    [self.data_log[c][i] if i < len(self.data_log[c]) else "" for c in cols]
+                )
+
+
+class SpeakerTrainer:
+    def __init__(self, params, tables, train_ds, graph_bank, cfg: TrainConfig,
+                 tokenizer=None, val_envs=None, rng=None):
+        self.params = params
+        self.tables = tables
+        self.train_ds = train_ds
+        self.graph_bank = graph_bank
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.val_envs = val_envs or {}
+        self.rng = rng if rng is not None else jax.random.PRNGKey(2)
+
+        # speaker decoder embedding is GloVe-frozen (train_speaker.py:191-193)
+        frozen = {"decoder/embedding/w"} if cfg.use_glove else set()
+        mask = make_frozen_mask(params, frozen)
+        self.tx = adam_with_torch_wd(
+            cfg.learning_rate, cfg.weight_decay, trainable_mask=mask
+        )
+        self.opt_state = self.tx.init(params)
+        self.data_log = defaultdict(list)
+        self._step_fn = self._build_step_fn()
+
+    def _encode_speaker_batch(self, batch):
+        enc = encode_batch(
+            batch, self.graph_bank,
+            max_instruction_length=self.cfg.max_instruction_length,
+            reverse_instructions=False,  # speaker instructions are not reversed
+        )
+        return enc
+
+    def _build_step_fn(self):
+        cfg = self.cfg
+
+        def loss_fn(params, gold, instr_seq, unroll_len, rng):
+            out = sa.score_instructions(
+                params, gold, instr_seq, rng,
+                feedback="teacher",
+                instruction_len=cfg.max_instruction_length,
+                unroll_len=unroll_len,
+                deterministic=False,
+                dropout_ratio=cfg.dropout_ratio,
+                use_glove=cfg.use_glove,
+            )
+            return out.loss
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("unroll_len",))
+        def step(params, opt_state, gold, instr_seq, rng, unroll_len):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, gold, instr_seq, unroll_len, rng
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    def _gold_and_instr(self, enc):
+        gold = sa.gold_rollout(
+            self.tables, _device_batch(enc), episode_len=self.cfg.episode_len
+        )
+        unroll_len = int(np.asarray(gold.path_len).max())
+        return gold, jnp.asarray(enc["seq"]), unroll_len
+
+    def train_interval(self, n_iters: int):
+        losses = []
+        for _ in range(n_iters):
+            batch = self.train_ds.next_minibatch()
+            enc = self._encode_speaker_batch(batch)
+            gold, instr_seq, unroll_len = self._gold_and_instr(enc)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, loss = self._step_fn(
+                self.params, self.opt_state, gold, instr_seq, step_rng,
+                unroll_len=unroll_len,
+            )
+            losses.append(float(loss))
+        return losses
+
+    def test(self, ds, feedback="argmax", allow_cheat=False, collect_loss=False):
+        assert allow_cheat or feedback in ("argmax", "sample")
+        ds.reset_epoch()
+        results = {}
+        losses = []
+        looped = False
+        while not looped:
+            batch = ds.next_minibatch()
+            enc = self._encode_speaker_batch(batch)
+            gold, instr_seq, unroll_len = self._gold_and_instr(enc)
+            self.rng, step_rng = jax.random.split(self.rng)
+            out = sa.score_instructions(
+                self.params, gold, instr_seq, step_rng,
+                feedback=feedback,
+                instruction_len=self.cfg.max_instruction_length,
+                unroll_len=unroll_len,
+                deterministic=True,
+                use_glove=self.cfg.use_glove,
+            )
+            if collect_loss:
+                losses.append(float(out.loss))
+            batch_results = sa.speaker_results_from_output(
+                out, enc["instr_id"], self.tokenizer
+            )
+            for instr_id, r in batch_results.items():
+                if instr_id in results:
+                    looped = True
+                else:
+                    results[instr_id] = r
+        return results, losses
+
+    def train(self, n_iters: int, log_every: int | None = None):
+        cfg = self.cfg
+        log_every = log_every or cfg.log_every
+        start = time.time()
+        best_metrics = {}
+        split_string = "-".join(self.train_ds.splits)
+
+        for idx in range(0, n_iters, log_every):
+            interval = min(log_every, n_iters - idx)
+            it = idx + interval
+            self.data_log["iteration"].append(it)
+            losses = self.train_interval(interval)
+            train_loss_avg = float(np.mean(losses))
+            self.data_log["train loss"].append(train_loss_avg)
+            loss_str = "train loss: %.4f" % train_loss_avg
+
+            for env_name, (val_ds, evaluator) in sorted(self.val_envs.items()):
+                _, val_losses = self.test(
+                    val_ds, feedback="teacher", allow_cheat=True, collect_loss=True
+                )
+                val_loss_avg = float(np.mean(val_losses)) if val_losses else 0.0
+                self.data_log["%s loss" % env_name].append(val_loss_avg)
+                results, _ = self.test(val_ds, feedback="argmax")
+                summary, _ = evaluator.score_results(results)
+                loss_str += ", %s loss: %.4f" % (env_name, val_loss_avg)
+                for metric, val in summary.items():
+                    self.data_log["%s %s" % (env_name, metric)].append(val)
+                    if metric == "bleu":
+                        loss_str += ", %s: %.3f" % (metric, val)
+                        key = (env_name, metric)
+                        if key not in best_metrics or best_metrics[key] < val:
+                            best_metrics[key] = val
+                            if not cfg.no_save:
+                                ckpt.save_params(
+                                    os.path.join(
+                                        cfg.snapshot_dir,
+                                        "%s_%s_iter_%d_%s-%s=%.3f"
+                                        % (cfg.model_prefix, split_string, it,
+                                           env_name, metric, val),
+                                    ),
+                                    self.params,
+                                )
+            print(
+                "%.1fm (%d %d%%) %s"
+                % ((time.time() - start) / 60, it, it * 100 // n_iters, loss_str)
+            )
+            if not cfg.no_save and cfg.save_every and it % cfg.save_every == 0:
+                ckpt.save_params(
+                    os.path.join(
+                        cfg.snapshot_dir,
+                        "%s_%s_iter_%d" % (cfg.model_prefix, split_string, it),
+                    ),
+                    self.params,
+                )
+        return best_metrics

@@ -1,0 +1,124 @@
+"""End-to-end training smoke tests on the in-repo sub splits with random
+features: losses must drop and the plumbing (val + eval + checkpointing)
+must run."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from speaker_follower_tpu.data.dataset import R2RDataset
+from speaker_follower_tpu.data.features import random_feature_bank
+from speaker_follower_tpu.data.graph import load_graph_bank
+from speaker_follower_tpu.data.text import Tokenizer, read_vocab
+from speaker_follower_tpu.env import vecenv
+from speaker_follower_tpu.models.follower import init_follower
+from speaker_follower_tpu.models.speaker import init_speaker
+from speaker_follower_tpu.training.trainer import (
+    FollowerTrainer,
+    SpeakerTrainer,
+    TrainConfig,
+)
+
+CONN = "/root/reference/connectivity"
+FEAT_DIM = 32
+
+
+@pytest.fixture(scope="module")
+def world():
+    vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+    tok = Tokenizer(vocab=vocab)
+    ds = R2RDataset(["sub_val_seen"], tokenizer=tok, batch_size=8, seed=10)
+    keep = sorted(ds.scans)[:2]
+    ds.data = [d for d in ds.data if d["scan"] in keep]
+    bank = load_graph_bank(keep, CONN)
+    feats = random_feature_bank(bank, dim=FEAT_DIM, seed=0)
+    tables = vecenv.make_env_tables(bank, feats)
+    return vocab, tok, ds, bank, tables
+
+
+def test_follower_training_reduces_loss(world, tmp_path):
+    vocab, tok, ds, bank, tables = world
+    params = init_follower(
+        jax.random.PRNGKey(0),
+        vocab_size=len(vocab),
+        word_embedding_size=16,
+        hidden_size=32,
+        action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    cfg = TrainConfig(
+        learning_rate=3e-3,
+        feedback="teacher",
+        use_glove=False,
+        no_save=True,
+        snapshot_dir=str(tmp_path),
+        plot_dir=str(tmp_path),
+    )
+    trainer = FollowerTrainer(params, tables, ds, bank, cfg)
+    first = trainer.train_interval(3)
+    for _ in range(6):
+        last = trainer.train_interval(3)
+    assert np.mean(last) < np.mean(first) * 0.9, (first, last)
+
+    # argmax test pass produces one result per instruction
+    results, _ = trainer.test(ds, feedback="argmax")
+    assert len(results) == len(ds)
+    assert all("trajectory" in r for r in results.values())
+
+
+def test_speaker_training_reduces_loss(world, tmp_path):
+    vocab, tok, ds, bank, tables = world
+    params = init_speaker(
+        jax.random.PRNGKey(1),
+        vocab_size=len(vocab),
+        action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+        word_embedding_size=16,
+        hidden_size=32,
+    )
+    cfg = TrainConfig(
+        learning_rate=3e-3,
+        feedback="teacher",
+        use_glove=False,
+        no_save=True,
+        max_instruction_length=40,
+        snapshot_dir=str(tmp_path),
+        plot_dir=str(tmp_path),
+    )
+    trainer = SpeakerTrainer(params, tables, ds, bank, cfg, tokenizer=tok)
+    first = trainer.train_interval(3)
+    for _ in range(6):
+        last = trainer.train_interval(3)
+    assert np.mean(last) < np.mean(first) * 0.9, (first, last)
+
+    results, _ = trainer.test(ds, feedback="argmax")
+    assert len(results) == len(ds)
+    some = next(iter(results.values()))
+    assert "words" in some and "score" in some
+
+
+def test_frozen_embedding_stays_frozen(world):
+    vocab, tok, ds, bank, tables = world
+    glove = np.random.RandomState(0).randn(len(vocab), 16).astype(np.float32)
+    params = init_follower(
+        jax.random.PRNGKey(2),
+        vocab_size=len(vocab),
+        word_embedding_size=16,
+        hidden_size=32,
+        action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+        glove=glove,
+    )
+    cfg = TrainConfig(feedback="teacher", use_glove=True, no_save=True)
+    trainer = FollowerTrainer(params, tables, ds, bank, cfg)
+    trainer.train_interval(2)
+    np.testing.assert_array_equal(
+        np.asarray(trainer.params["encoder"]["embedding"]["w"]), glove
+    )
+    # but other params moved
+    assert not np.allclose(
+        np.asarray(trainer.params["encoder"]["lstm_fwd"]["w_ih"]),
+        np.asarray(params["encoder"]["lstm_fwd"]["w_ih"]),
+    )

@@ -1,0 +1,73 @@
+"""Device-mesh utilities: data-parallel episode sharding.
+
+The reference is single-GPU (SURVEY.md §2.4: no distributed code at all);
+here scale-out is first-class: episodes are embarrassingly data-parallel,
+so the canonical layout is a 1-D ``("data",)`` mesh with
+  * params, optimizer state, env tables: replicated,
+  * per-episode batch arrays: sharded on axis 0 over "data".
+XLA inserts the gradient psum across ICI automatically from the sharding
+annotations on the jitted train step.
+
+For multi-host, ``jax.distributed.initialize()`` before building the mesh;
+the same annotations then span hosts (DCN between slices).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place per-episode arrays with their leading axis split over the data
+    axis.  Batch size must divide the mesh size."""
+    sharding = data_sharded(mesh)
+    return {
+        k: jax.device_put(jnp.asarray(v), sharding)
+        for k, v in batch.items()
+        if hasattr(v, "shape")
+    }
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+
+
+def pad_batch_to(batch_np: dict, size: int):
+    """Pad host batch arrays (axis 0) up to ``size`` by repeating the last
+    element; returns (padded, true_size).  Padded episodes are real episodes
+    (duplicates) — callers dedup results by instr_id, so duplicates are
+    harmless; losses are averaged per-step over live episodes."""
+    import numpy as np
+
+    out = {}
+    b = None
+    for k, v in batch_np.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            b = v.shape[0]
+            pad = size - b
+            if pad > 0:
+                v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+            out[k] = v
+        else:
+            out[k] = v
+    return out, b

@@ -1,0 +1,97 @@
+"""Multi-device data-parallel training on the 8-device virtual CPU mesh:
+the sharded train step must produce the same params as single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speaker_follower_tpu.agents import rollout as ra
+from speaker_follower_tpu.data.dataset import R2RDataset, encode_batch
+from speaker_follower_tpu.data.features import random_feature_bank
+from speaker_follower_tpu.data.graph import load_graph_bank
+from speaker_follower_tpu.data.text import Tokenizer, read_vocab
+from speaker_follower_tpu.env import vecenv
+from speaker_follower_tpu.models.follower import init_follower
+from speaker_follower_tpu.parallel import mesh as pm
+from speaker_follower_tpu.training.optim import adam_with_torch_wd
+
+CONN = "/root/reference/connectivity"
+FEAT = 32
+
+
+@pytest.fixture(scope="module")
+def world():
+    vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+    tok = Tokenizer(vocab=vocab)
+    ds = R2RDataset(["sub_val_seen"], tokenizer=tok, batch_size=8, seed=10)
+    keep = sorted(ds.scans)[:2]
+    ds.data = [d for d in ds.data if d["scan"] in keep]
+    bank = load_graph_bank(keep, CONN)
+    feats = random_feature_bank(bank, dim=FEAT, seed=0)
+    tables = vecenv.make_env_tables(bank, feats)
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT + 128, feature_size=FEAT + 128,
+    )
+    return vocab, ds, bank, tables, params
+
+
+def _loss_fn(params, tables, batch, rng):
+    return ra.rollout(
+        params, tables, batch, rng, feedback="teacher", episode_len=10
+    ).loss
+
+
+def test_data_parallel_step_matches_single_device(world):
+    vocab, ds, bank, tables, params = world
+    assert len(jax.devices()) == 8
+    mesh = pm.make_mesh()
+
+    enc = encode_batch(ds.next_minibatch(), bank)
+    batch_np = {
+        k: enc[k]
+        for k in ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
+    }
+
+    tx = adam_with_torch_wd(1e-3)
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(7)
+
+    def step(params, opt_state, tables, batch, rng):
+        loss, grads = jax.value_and_grad(_loss_fn)(params, tables, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+    # single device
+    step1 = jax.jit(step)
+    p1, o1, l1 = step1(
+        params, opt_state, tables,
+        {k: jnp.asarray(v) for k, v in batch_np.items()}, rng,
+    )
+
+    # 8-device data-parallel: shard the batch, replicate the rest
+    params_r = pm.replicate(mesh, params)
+    opt_r = pm.replicate(mesh, opt_state)
+    tables_r = vecenv.EnvTables(*[
+        jax.device_put(x, pm.replicated(mesh)) for x in tables
+    ])
+    batch_s = pm.shard_batch(mesh, batch_np)
+    step8 = jax.jit(step)
+    p8, o8, l8 = step8(params_r, opt_r, tables_r, batch_s, rng)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pad_batch_to(world):
+    vocab, ds, bank, tables, params = world
+    enc = encode_batch(ds.next_minibatch(), bank)
+    batch_np = {k: enc[k] for k in ["scan", "seq"]}
+    padded, true_b = pm.pad_batch_to(batch_np, 16)
+    assert true_b == 8
+    assert padded["scan"].shape[0] == 16
+    assert (padded["scan"][8:] == padded["scan"][7]).all()

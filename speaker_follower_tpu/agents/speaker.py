@@ -190,6 +190,195 @@ def score_instructions(
     )
 
 
+@partial(jax.jit, static_argnames=("episode_len",))
+def forced_rollout(tables: vecenv.EnvTables, batch, *, episode_len: int = 10):
+    """Like gold_rollout but replaying given action sequences — used to
+    build the speaker's input tensors for arbitrary follower candidates
+    (rational_follower.py:59-69 feeds candidate (obs, actions) into the
+    speaker).  ``batch`` needs forced_actions (B, T) and forced_len (B,)."""
+    state = vecenv.reset(batch["scan"], batch["start_node"], batch["heading"])
+    actions = batch["forced_actions"]
+    forced_len = batch["forced_len"]
+    goal = batch["start_node"]  # teacher unused
+
+    def step_fn(carry, t):
+        state = carry
+        obs = vecenv.observe(tables, state, goal)
+        live = t < forced_len
+        a = jnp.where(live, actions[:, t], 0)
+        a_emb = jnp.take_along_axis(
+            obs.action_embedding, a[:, None, None], axis=1
+        )[:, 0]
+        a_emb = jnp.where(live[:, None], a_emb, 0.0)
+        feat = jnp.where(live[:, None, None], obs.pano_feature, 0.0)
+        new_state = vecenv.step(tables, state, a)
+        return new_state, (a_emb, feat, a, new_state.node, live)
+
+    final_state, (a_embs, feats, acts, nodes, live) = jax.lax.scan(
+        step_fn, state, jnp.arange(episode_len)
+    )
+    to_bt = lambda x: jnp.swapaxes(x, 0, 1)
+    live = to_bt(live)
+    return GoldTrajectories(
+        action_embeddings=to_bt(a_embs),
+        world_features=to_bt(feats),
+        actions=to_bt(acts),
+        nodes=to_bt(nodes),
+        path_mask=~live,
+        path_len=live.sum(axis=1).astype(jnp.int32),
+    )
+
+
+class SpeakerBeamResult(NamedTuple):
+    words: jnp.ndarray  # (B, K, L) word sequences (incl. final EOS)
+    lengths: jnp.ndarray  # (B, K) number of words incl. EOS
+    scores: jnp.ndarray  # (B, K) descending
+    count: jnp.ndarray  # (B,)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "beam_size", "instruction_len", "unroll_len",
+        "use_glove", "use_input_att_feed",
+    ),
+)
+def beam_search(
+    params,
+    gold: GoldTrajectories,
+    *,
+    beam_size: int = 10,
+    instruction_len: int = 80,
+    unroll_len: int = 10,
+    use_glove: bool = True,
+    use_input_att_feed: bool = False,
+) -> SpeakerBeamResult:
+    """Word-level beam search (speaker.py:211-318): global top-K expansion
+    over (slot, word) successor scores; EOS (or final-step) successors move
+    to a top-K completed buffer; a beam with >= K completions dies."""
+    from ..models.attention import NEG_INF
+
+    k = beam_size
+    ctx, h0, c0 = smodels.speaker_encoder_apply(
+        params["encoder"],
+        gold.action_embeddings[:, :unroll_len],
+        gold.world_features[:, :unroll_len],
+        deterministic=True,
+    )
+    path_mask = gold.path_mask[:, :unroll_len]
+    b, _, hdim = ctx.shape
+    vocab = params["decoder"]["decoder2action"]["w"].shape[0]
+
+    h = jnp.repeat(h0[:, None], k, axis=1)
+    c = jnp.repeat(c0[:, None], k, axis=1)
+    w_prev = jnp.full((b, k), BOS_IDX, jnp.int32)
+    scores = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
+    alive = jnp.zeros((b, k), bool).at[:, 0].set(True)
+    hist = jnp.zeros((b, k, instruction_len), jnp.int32)
+
+    comp_scores = jnp.full((b, k), NEG_INF)
+    comp_words = jnp.zeros((b, k, instruction_len), jnp.int32)
+    comp_lens = jnp.zeros((b, k), jnp.int32)
+    comp_count = jnp.zeros((b,), jnp.int32)
+
+    ctx_rep = jnp.repeat(ctx, k, axis=0)
+    mask_rep = jnp.repeat(path_mask, k, axis=0)
+
+    def step_fn(carry, t):
+        (h, c, w_prev, scores, alive, hist,
+         comp_scores, comp_words, comp_lens, comp_count) = carry
+        h1f, c1f, alpha, logit = smodels.speaker_decoder_step(
+            params["decoder"],
+            w_prev.reshape(-1),
+            h.reshape(b * k, hdim),
+            c.reshape(b * k, hdim),
+            ctx_rep,
+            mask_rep,
+            deterministic=True,
+            use_glove=use_glove,
+            use_input_att_feed=use_input_att_feed,
+        )
+        log_probs = jax.nn.log_softmax(logit, axis=-1).reshape(b, k, vocab)
+        succ = scores[:, :, None] + log_probs
+        succ = jnp.where(alive[:, :, None], succ, NEG_INF)
+        top_scores, top_idx = jax.lax.top_k(succ.reshape(b, k * vocab), k)
+        parent = top_idx // vocab
+        word = (top_idx % vocab).astype(jnp.int32)
+        top_valid = top_scores > NEG_INF / 2
+
+        g2 = lambda x: jnp.take_along_axis(
+            x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+        h1 = g2(h1f.reshape(b, k, hdim))
+        c1 = g2(c1f.reshape(b, k, hdim))
+        hist1 = g2(hist).at[:, :, t].set(word)
+        wlen = t + 1
+
+        is_eos = (word == EOS_IDX) | (t == instruction_len - 1)
+        beam_dead = comp_count >= k
+        to_completed = top_valid & is_eos & ~beam_dead[:, None]
+        to_beam = top_valid & ~is_eos & ~beam_dead[:, None]
+
+        cand_scores = jnp.where(to_completed, top_scores, NEG_INF)
+        merged_scores = jnp.concatenate([comp_scores, cand_scores], axis=1)
+        merged_words = jnp.concatenate([comp_words, hist1], axis=1)
+        merged_lens = jnp.concatenate(
+            [comp_lens, jnp.full((b, k), wlen, jnp.int32)], axis=1
+        )
+        mtop, midx = jax.lax.top_k(merged_scores, k)
+        comp_scores2 = mtop
+        comp_words2 = jnp.take_along_axis(merged_words, midx[:, :, None], axis=1)
+        comp_lens2 = jnp.take_along_axis(merged_lens, midx, axis=1)
+        comp_count2 = jnp.minimum(comp_count + to_completed.sum(axis=1), 2 * k)
+
+        carry = (
+            h1, c1, word, jnp.where(to_beam, top_scores, NEG_INF), to_beam, hist1,
+            comp_scores2, comp_words2, comp_lens2, comp_count2,
+        )
+        return carry, None
+
+    carry = (h, c, w_prev, scores, alive, hist,
+             comp_scores, comp_words, comp_lens, comp_count)
+    carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(instruction_len))
+    (_, _, _, _, _, _, comp_scores, comp_words, comp_lens, comp_count) = carry
+    return SpeakerBeamResult(
+        words=comp_words,
+        lengths=comp_lens,
+        scores=comp_scores,
+        count=jnp.minimum(comp_count, beam_size),
+    )
+
+
+def beam_results(result: SpeakerBeamResult, instr_ids, tokenizer):
+    """Per-instance candidate lists in the reference output format
+    (speaker.py:298-318): word_indices include the final EOS."""
+    words = np.asarray(result.words)
+    lengths = np.asarray(result.lengths)
+    scores = np.asarray(result.scores)
+    count = np.asarray(result.count)
+    outputs = []
+    from ..models.attention import NEG_INF
+
+    for i, instr_id in enumerate(instr_ids):
+        cands = []
+        for j in range(int(count[i])):
+            if scores[i, j] <= NEG_INF / 2:
+                continue
+            idxs = [int(w) for w in words[i, j, : lengths[i, j]]]
+            cands.append(
+                {
+                    "instr_id": instr_id,
+                    "word_indices": idxs,
+                    "score": float(scores[i, j]),
+                    "words": tokenizer.decode_sentence(
+                        idxs, break_on_eos=True, join=False
+                    ),
+                }
+            )
+        outputs.append(cands)
+    return outputs
+
+
 def speaker_results_from_output(out: SpeakerOutput, instr_ids, tokenizer):
     """Reference-format output dicts: word_indices recorded while not ended
     (EOS itself included, speaker.py:184-191), words decoded break_on_eos."""

@@ -1,0 +1,240 @@
+"""Pragmatic (rational) follower inference.
+
+Replaces tasks/R2R/rational_follower.py: generate candidate trajectories
+with follower beam search or state-factored search, re-score each candidate
+with the speaker's teacher-forced instruction likelihood, and pick the
+argmax of the std-normalized mixture
+  speaker_weight * speaker/std_s + (1 - speaker_weight) * follower/std_f
+with weights {0, 0.95} (rational_follower.py:125-148).
+
+Candidate speaker-scoring runs as batched on-device replay: each
+candidate's action sequence is replayed through the vectorized env to
+build the speaker's input tensors (forced_rollout), then scored
+teacher-forced in one call — no per-candidate loops on device.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents import beam as ba
+from ..agents import speaker as sa
+from ..agents import state_factored as sf
+from ..data.dataset import encode_batch
+from ..data.text import batch_instructions
+from ..utils.misc import pretty_json_dump
+
+EPISODE_LEN = 10
+
+
+def _pad_pow2(m, lo=8):
+    size = lo
+    while size < m:
+        size *= 2
+    return size
+
+
+def speaker_score_candidates(
+    speaker_params,
+    tables,
+    candidates_flat,
+    *,
+    max_instruction_length: int = 80,
+    episode_len: int = EPISODE_LEN,
+    use_glove: bool = True,
+):
+    """Teacher-forced speaker log-likelihood of each candidate's own
+    instruction given its trajectory (rational_follower.py:67-69)."""
+    m = len(candidates_flat)
+    cap = _pad_pow2(m)
+    scan = np.zeros(cap, np.int32)
+    start = np.zeros(cap, np.int32)
+    heading = np.zeros(cap, np.int32)
+    actions = np.zeros((cap, episode_len), np.int32)
+    lens = np.zeros(cap, np.int32)
+    encodings = []
+    for j, cand in enumerate(candidates_flat):
+        scan[j] = cand["_scan_ix"]
+        start[j] = cand["_start_node"]
+        heading[j] = cand["_heading"]
+        a = cand["actions"][:episode_len]
+        actions[j, : len(a)] = a
+        lens[j] = len(a)
+        encodings.append(cand["instr_encoding"])
+    encodings += [np.zeros((0,), np.int32)] * (cap - m)
+
+    batch = {
+        "scan": jnp.asarray(scan),
+        "start_node": jnp.asarray(start),
+        "heading": jnp.asarray(heading),
+        "forced_actions": jnp.asarray(actions),
+        "forced_len": jnp.asarray(lens),
+    }
+    gold = sa.forced_rollout(tables, batch, episode_len=episode_len)
+    seq, _, _ = batch_instructions(
+        encodings, max_instruction_length, reverse=False
+    )
+    unroll = int(np.asarray(gold.path_len[:m]).max()) if m else 1
+    out = sa.score_instructions(
+        speaker_params, gold, jnp.asarray(seq), jax.random.PRNGKey(0),
+        feedback="teacher", instruction_len=max_instruction_length,
+        unroll_len=max(unroll, 1), deterministic=True, use_glove=use_glove,
+    )
+    return np.asarray(out.score)[:m]
+
+
+def generate_candidates(
+    follower_params,
+    tables,
+    enc,
+    graph_bank,
+    *,
+    beam_size: int,
+    state_factored: bool = False,
+    state_first_n_ws_key: int = 4,
+    episode_len: int = EPISODE_LEN,
+    use_glove: bool = True,
+):
+    """Per-instance candidate lists (+ traversal lists for state-factored)."""
+    db = {
+        k: jnp.asarray(enc[k])
+        for k in ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
+    }
+    if state_factored:
+        candidates, completed, traversed = sf.state_factored_search(
+            follower_params, tables, enc, graph_bank,
+            completion_size=beam_size, successor_size=1,
+            episode_len=episode_len, first_n_ws_key=state_first_n_ws_key,
+            use_glove=use_glove,
+        )
+        return candidates, completed, traversed
+    result = ba.beam_search(
+        follower_params, tables, db,
+        beam_size=beam_size, episode_len=episode_len, use_glove=use_glove,
+    )
+    candidates = ba.beam_trajectories(result, enc, graph_bank)
+    return candidates, None, None
+
+
+def run_rational_follower(
+    dataset,
+    evaluator,
+    follower_params,
+    speaker_params,
+    tables,
+    graph_bank,
+    *,
+    beam_size: int = 10,
+    state_factored_search: bool = False,
+    state_first_n_ws_key: int = 4,
+    physical_traversal: bool = False,
+    speaker_weights=(0.0, 0.95),
+    max_instruction_length: int = 80,
+    use_glove: bool = True,
+    output_file=None,
+    eval_file=None,
+):
+    """Returns accuracies_by_weight, index_counts_by_weight
+    (rational_follower.py:11-195)."""
+    if physical_traversal and not state_factored_search:
+        raise ValueError("physical_traversal requires state_factored_search")
+    dataset.reset_epoch()
+    candidate_lists_by_instr_id = {}
+    looped = False
+    while not looped:
+        batch = dataset.next_minibatch()
+        enc = encode_batch(
+            batch, graph_bank, max_instruction_length=max_instruction_length
+        )
+        candidates, completed, traversed = generate_candidates(
+            follower_params, tables, enc, graph_bank,
+            beam_size=beam_size, state_factored=state_factored_search,
+            state_first_n_ws_key=state_first_n_ws_key, use_glove=use_glove,
+        )
+        # annotate candidates with replay coordinates for speaker scoring
+        flat = []
+        for i, cands in enumerate(candidates):
+            for cand in cands:
+                cand["_scan_ix"] = int(enc["scan"][i])
+                cand["_start_node"] = int(enc["start_node"][i])
+                cand["_heading"] = int(enc["heading"][i])
+                flat.append(cand)
+        speaker_scores = speaker_score_candidates(
+            speaker_params, tables, flat,
+            max_instruction_length=max_instruction_length, use_glove=use_glove,
+        )
+        for cand, s in zip(flat, speaker_scores):
+            cand["follower_score"] = cand["score"]
+            cand["speaker_score"] = float(s)
+
+        for i, cands in enumerate(candidates):
+            if physical_traversal:
+                for hyp, cand in zip(completed[i], cands):
+                    g = graph_bank.graphs[enc["scan_id"][i]]
+                    phys = sf.physical_trajectory(traversed[i], hyp, g)
+                    assert phys[-1][0] == cand["trajectory"][-1][0]
+                    cand["trajectory"] = phys
+            instr_id = enc["instr_id"][i]
+            if instr_id in candidate_lists_by_instr_id:
+                looped = True
+            else:
+                candidate_lists_by_instr_id[instr_id] = cands
+
+    follower_scores = [
+        c["follower_score"]
+        for lst in candidate_lists_by_instr_id.values()
+        for c in lst
+    ]
+    speaker_scores = [
+        c["speaker_score"]
+        for lst in candidate_lists_by_instr_id.values()
+        for c in lst
+    ]
+    speaker_std = float(np.std(speaker_scores))
+    follower_std = float(np.std(follower_scores))
+
+    accuracies_by_weight = {}
+    index_counts_by_weight = {}
+    for w in speaker_weights:
+        results = {}
+        index_count = Counter()
+        sw = w / speaker_std
+        fw = (1 - w) / follower_std
+        eval_results = []
+        for instr_id, cands in candidate_lists_by_instr_id.items():
+            best_ix, best = max(
+                enumerate(cands),
+                key=lambda t: t[1]["speaker_score"] * sw
+                + t[1]["follower_score"] * fw,
+            )
+            results[instr_id] = best
+            index_count[best_ix] += 1
+            eval_results.append(
+                {"instr_id": instr_id, "trajectory": best["trajectory"]}
+            )
+        summary, _ = evaluator.score_results(results)
+        accuracies_by_weight[w] = summary
+        index_counts_by_weight[w] = index_count
+        if eval_file:
+            with open(eval_file % w, "w") as f:
+                pretty_json_dump(eval_results, f)
+
+    if output_file:
+        dump = {}
+        for instr_id, cands in candidate_lists_by_instr_id.items():
+            dump[instr_id] = [
+                {
+                    k: v
+                    for k, v in c.items()
+                    if not k.startswith("_") and k != "instr_encoding"
+                }
+                | {"rank": r}
+                for r, c in enumerate(cands)
+            ]
+        with open(output_file, "w") as f:
+            pretty_json_dump(dump, f)
+    return accuracies_by_weight, index_counts_by_weight

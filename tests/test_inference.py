@@ -1,0 +1,185 @@
+"""Pragmatic inference tests: speaker beam-1 == argmax decode (the
+reference's commented consistency check, speaker.py:343-351), rational
+follower/speaker end-to-end, and augmentation output format."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speaker_follower_tpu.agents import speaker as sa
+from speaker_follower_tpu.data.dataset import R2RDataset, encode_batch
+from speaker_follower_tpu.data.features import random_feature_bank
+from speaker_follower_tpu.data.graph import load_graph_bank
+from speaker_follower_tpu.data.text import EOS_IDX, Tokenizer, read_vocab
+from speaker_follower_tpu.env import vecenv
+from speaker_follower_tpu.models.follower import init_follower
+from speaker_follower_tpu.models.speaker import init_speaker
+
+CONN = "/root/reference/connectivity"
+FEAT = 32
+MAXLEN = 40
+
+
+@pytest.fixture(scope="module")
+def world():
+    vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+    tok = Tokenizer(vocab=vocab)
+    ds = R2RDataset(["sub_val_seen"], tokenizer=tok, batch_size=4, seed=10)
+    keep = sorted(ds.scans)[:2]
+    ds.data = [d for d in ds.data if d["scan"] in keep]
+    bank = load_graph_bank(keep, CONN)
+    feats = random_feature_bank(bank, dim=FEAT, seed=0)
+    tables = vecenv.make_env_tables(bank, feats)
+    f_params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT + 128, feature_size=FEAT + 128,
+    )
+    s_params = init_speaker(
+        jax.random.PRNGKey(1), vocab_size=len(vocab),
+        action_embedding_size=FEAT + 128, feature_size=FEAT + 128,
+        word_embedding_size=16, hidden_size=32,
+    )
+    return vocab, tok, ds, bank, tables, f_params, s_params
+
+
+def _gold(world):
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    enc = encode_batch(ds.next_minibatch(), bank,
+                       max_instruction_length=MAXLEN, reverse_instructions=False)
+    db = {k: jnp.asarray(enc[k]) for k in ["scan", "start_node", "goal_node", "heading"]}
+    gold = sa.gold_rollout(tables, db, episode_len=10)
+    return enc, gold, int(np.asarray(gold.path_len).max())
+
+
+def test_speaker_beam1_equals_argmax(world):
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    enc, gold, unroll = _gold(world)
+    out = sa.score_instructions(
+        s_params, gold, jnp.asarray(enc["seq"]), jax.random.PRNGKey(0),
+        feedback="argmax", instruction_len=MAXLEN, unroll_len=unroll,
+        deterministic=True,
+    )
+    greedy = sa.speaker_results_from_output(out, enc["instr_id"], tok)
+    res = sa.beam_search(
+        s_params, gold, beam_size=1, instruction_len=MAXLEN, unroll_len=unroll
+    )
+    beams = sa.beam_results(res, enc["instr_id"], tok)
+    for i, instr_id in enumerate(enc["instr_id"]):
+        g = greedy[instr_id]
+        assert len(beams[i]) == 1
+        b = beams[i][0]
+        assert g["word_indices"] == b["word_indices"], (
+            g["word_indices"], b["word_indices"]
+        )
+        assert abs(g["score"] - b["score"]) < 1e-4
+
+
+def test_speaker_beam_scores_sorted_and_eos_terminated(world):
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    enc, gold, unroll = _gold(world)
+    res = sa.beam_search(
+        s_params, gold, beam_size=5, instruction_len=MAXLEN, unroll_len=unroll
+    )
+    beams = sa.beam_results(res, enc["instr_id"], tok)
+    for cands in beams:
+        assert len(cands) >= 1
+        scores = [c["score"] for c in cands]
+        assert scores == sorted(scores, reverse=True)
+        for c in cands:
+            assert c["word_indices"][-1] == EOS_IDX or len(c["word_indices"]) == MAXLEN
+
+
+def test_forced_rollout_matches_gold_on_teacher_actions(world):
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    enc, gold, unroll = _gold(world)
+    batch = {
+        "scan": jnp.asarray(enc["scan"]),
+        "start_node": jnp.asarray(enc["start_node"]),
+        "heading": jnp.asarray(enc["heading"]),
+        "forced_actions": gold.actions,
+        "forced_len": gold.path_len,
+    }
+    replay = sa.forced_rollout(tables, batch, episode_len=10)
+    np.testing.assert_array_equal(np.asarray(replay.nodes), np.asarray(gold.nodes))
+    np.testing.assert_allclose(
+        np.asarray(replay.action_embeddings),
+        np.asarray(gold.action_embeddings),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(replay.path_len), np.asarray(gold.path_len)
+    )
+
+
+def test_rational_follower_end_to_end(world, tmp_path):
+    from speaker_follower_tpu.evaluation.follower_eval import Evaluation
+    from speaker_follower_tpu.inference.rational_follower import (
+        run_rational_follower,
+    )
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    full_bank = load_graph_bank(
+        sorted(R2RDataset(["sub_val_seen"]).scans), CONN
+    )
+    ev = Evaluation(["sub_val_seen"], full_bank)
+    # restrict the evaluator to the subset we kept
+    kept_ids = {d["instr_id"] for d in ds.data}
+    ev.instr_ids = kept_ids
+
+    for sf_mode, phys in [(False, False), (True, False), (True, True)]:
+        acc, counts = run_rational_follower(
+            ds, ev, f_params, s_params, tables, bank,
+            beam_size=3, state_factored_search=sf_mode,
+            physical_traversal=phys, max_instruction_length=MAXLEN,
+        )
+        assert set(acc.keys()) == {0.0, 0.95}
+        for w, summary in acc.items():
+            assert 0.0 <= summary["success_rate"] <= 1.0
+            assert np.isfinite(summary["nav_error"])
+
+
+def test_rational_speaker_end_to_end(world):
+    from speaker_follower_tpu.evaluation.speaker_eval import SpeakerEvaluation
+    from speaker_follower_tpu.inference.rational_speaker import (
+        run_rational_speaker,
+    )
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    sev = SpeakerEvaluation(["sub_val_seen"])
+    kept_ids = {d["instr_id"] for d in ds.data}
+    sev.instr_ids = kept_ids
+
+    scores_by_weight, results_by_weight = run_rational_speaker(
+        ds, sev, s_params, f_params, tables, bank, tok,
+        n_candidates=3, max_instruction_length=MAXLEN,
+    )
+    assert len(scores_by_weight) == 21
+    for w, summary in scores_by_weight.items():
+        assert "bleu" in summary
+
+
+def test_augmentation_output_format(world, tmp_path):
+    from speaker_follower_tpu.inference.augmentation import augment_from_speaker
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    # the pred split has its own scans -> its own bank/tables
+    unseen = R2RDataset(["sub_val_unseen"], tokenizer=tok, batch_size=4)
+    ubank = load_graph_bank(sorted(unseen.scans), CONN)
+    utables = vecenv.make_env_tables(
+        ubank, random_feature_bank(ubank, dim=FEAT, seed=3)
+    )
+    outputs = augment_from_speaker(
+        s_params, utables, ubank, tok, ["sub_val_unseen"],
+        str(tmp_path / "aug"), max_instruction_length=MAXLEN,
+    )
+    (name, (summary, path)), = outputs.items()
+    with open(path) as f:
+        data = json.load(f)
+    assert len(data) > 0
+    for item in data[:5]:
+        assert set(item.keys()) >= {"scan", "path_id", "path", "heading", "instructions"}
+        assert len(item["instructions"]) == 1
+        assert isinstance(item["instructions"][0], str)

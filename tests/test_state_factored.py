@@ -1,0 +1,117 @@
+"""State-factored search properties: executable candidates, state-dedup
+(no duplicate world-state keys among completions), physically-traversable
+exploration paths, and score ordering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speaker_follower_tpu.agents import state_factored as sf
+from speaker_follower_tpu.agents import beam as ba
+from speaker_follower_tpu.data.dataset import R2RDataset, encode_batch
+from speaker_follower_tpu.data.features import random_feature_bank
+from speaker_follower_tpu.data.graph import load_graph_bank
+from speaker_follower_tpu.data.text import Tokenizer, read_vocab
+from speaker_follower_tpu.env import vecenv
+from speaker_follower_tpu.models.follower import init_follower
+
+CONN = "/root/reference/connectivity"
+FEAT = 32
+
+
+@pytest.fixture(scope="module")
+def world():
+    vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+    tok = Tokenizer(vocab=vocab)
+    ds = R2RDataset(["sub_val_seen"], tokenizer=tok, batch_size=4, seed=10)
+    keep = sorted(ds.scans)[:2]
+    ds.data = [d for d in ds.data if d["scan"] in keep]
+    bank = load_graph_bank(keep, CONN)
+    feats = random_feature_bank(bank, dim=FEAT, seed=0)
+    tables = vecenv.make_env_tables(bank, feats)
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT + 128, feature_size=FEAT + 128,
+    )
+    enc = encode_batch(ds.next_minibatch(), bank)
+    return bank, tables, params, enc
+
+
+@pytest.fixture(scope="module")
+def search(world):
+    bank, tables, params, enc = world
+    return sf.state_factored_search(
+        params, tables, enc, bank,
+        completion_size=5, successor_size=1, episode_len=10,
+    )
+
+
+def test_produces_completions(world, search):
+    bank, tables, params, enc = world
+    candidates, completed_lists, traversed = search
+    assert len(candidates) == 4
+    for cands in candidates:
+        assert 1 <= len(cands) <= 5
+        scores = [c["score"] for c in cands]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_completions_are_state_deduped(world, search):
+    bank, tables, params, enc = world
+    _, completed_lists, _ = search
+    for comp in completed_lists:
+        keys = [(h.node, h.heading, h.elev) for h in comp]
+        assert len(keys) == len(set(keys))
+
+
+def test_candidates_are_executable(world, search):
+    bank, tables, params, enc = world
+    candidates, _, _ = search
+    for i, cands in enumerate(candidates):
+        g = bank.graphs[enc["scan_id"][i]]
+        for cand in cands:
+            cur = int(enc["start_node"][i])
+            heading = int(enc["heading"][i])
+            vps = [p[0] for p in cand["trajectory"]]
+            assert vps[0] == g.node_ids[cur]
+            for t, a in enumerate(cand["actions"]):
+                if a == 0:
+                    pass
+                else:
+                    count = int(g.adj_count[cur])
+                    assert 1 <= a <= count
+                    slot = int(g.adj_perm[cur, heading, a - 1])
+                    heading = int(g.adj_view[cur, slot]) % 12
+                    cur = int(g.adj_next[cur, slot])
+                assert vps[t + 1] == g.node_ids[cur]
+            assert cand["actions"][-1] == 0 or len(cand["actions"]) == 10
+            assert abs(sum(cand["scores"]) - cand["score"]) < 1e-4
+
+
+def test_traversed_lists_are_physically_connected(world, search):
+    """Consecutive hypotheses in the traversal must be the same node or
+    graph neighbors (the robot physically walks the search tree)."""
+    bank, tables, params, enc = world
+    _, completed_lists, traversed = search
+    for i, trav in enumerate(traversed):
+        g = bank.graphs[enc["scan_id"][i]]
+        for a, b_ in zip(trav[:-1], trav[1:]):
+            same = a.node == b_.node
+            adjacent = bool(g.edges[a.node, b_.node])
+            assert same or adjacent, (a.node, b_.node)
+
+
+def test_physical_trajectory_ends_at_candidate(world, search):
+    bank, tables, params, enc = world
+    candidates, completed_lists, traversed = world_physical = search
+    for i in range(len(candidates)):
+        g = bank.graphs[enc["scan_id"][i]]
+        for hyp, cand in zip(completed_lists[i], candidates[i]):
+            phys = sf.physical_trajectory(traversed[i], hyp, g)
+            assert phys[-1][0] == cand["trajectory"][-1][0]
+            # physically connected
+            idx = {v: k for k, v in enumerate(g.node_ids)}
+            for a, b_ in zip(phys[:-1], phys[1:]):
+                na, nb = idx[a[0]], idx[b_[0]]
+                assert na == nb or bool(g.edges[na, nb])

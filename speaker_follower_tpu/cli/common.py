@@ -1,0 +1,151 @@
+"""Shared CLI setup: args -> (datasets, graph bank, env tables, models).
+
+Replaces the composed-argparse setup helpers of the reference
+(train.py:169-242, train_speaker.py:171-221, ImageFeatures.add_args at
+env.py:318-325).  Hyperparameters mirror train.py:26-40.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from .. import paths
+from ..data.dataset import R2RDataset
+from ..data.features import (
+    MEAN_POOLED_DIM,
+    load_tsv_feature_bank,
+    random_feature_bank,
+    zero_feature_bank,
+)
+from ..data.graph import load_graph_bank
+from ..data.text import Tokenizer, read_vocab
+from ..env import vecenv
+from ..evaluation.follower_eval import Evaluation
+from ..evaluation.speaker_eval import SpeakerEvaluation
+from ..training.trainer import TrainConfig
+
+WORD_EMBEDDING_SIZE = 300
+HIDDEN_SIZE = 512
+DROPOUT_RATIO = 0.5
+BATCH_SIZE = 100
+MAX_INPUT_LENGTH = 80
+EPISODE_LEN = 10
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument(
+        "--image_feature_type",
+        choices=["none", "mean_pooled", "random"],
+        default="mean_pooled",
+        help="'random' is a synthetic bank for smoke runs without the TSV",
+    )
+    parser.add_argument(
+        "--image_feature_datasets", nargs="+",
+        choices=["imagenet", "places365"], default=["imagenet"],
+    )
+    parser.add_argument("--data_root", default=paths.DATA_ROOT)
+    parser.add_argument("--batch_size", type=int, default=BATCH_SIZE)
+    parser.add_argument("--no_save", action="store_true")
+    parser.add_argument(
+        "--use_train_subset", action="store_true",
+        help="use the in-repo sub_* splits and vocab",
+    )
+    parser.add_argument("--bfloat16_features", action="store_true")
+    parser.add_argument("--snapshot_dir", default=paths.SNAPSHOT_DIR)
+    parser.add_argument("--result_dir", default=paths.RESULT_DIR)
+    parser.add_argument("--plot_dir", default=paths.PLOT_DIR)
+    parser.add_argument("--cache_dir", default=paths.CACHE_DIR)
+    return parser
+
+
+def resolve_vocab(args):
+    return paths.SUBTRAIN_VOCAB if args.use_train_subset else paths.TRAIN_VOCAB
+
+
+def resolve_splits(args, train_splits, val_splits):
+    if args.use_train_subset:
+        train_splits = ["sub_" + s for s in train_splits]
+        val_splits = ["sub_" + s for s in val_splits]
+    return train_splits, val_splits
+
+
+def load_glove(args, vocab):
+    glove = np.load(paths.TRAIN_GLOVE)
+    if glove.shape[0] != len(vocab):
+        return None  # sub vocab has no matching glove; train embeddings
+    return glove
+
+
+def build_world(args, splits, tokenizer):
+    """Graph bank + env tables + datasets for all given splits."""
+    datasets = {
+        name: R2RDataset(
+            [split], tokenizer=tokenizer, batch_size=args.batch_size
+        )
+        for name, split in splits.items()
+    }
+    scans = sorted(set().union(*[d.scans for d in datasets.values()]))
+    bank = load_graph_bank(scans, paths.CONNECTIVITY_DIR, cache_dir=args.cache_dir)
+
+    import jax
+    import jax.numpy as jnp
+
+    feat_dtype = jnp.bfloat16 if args.bfloat16_features else jnp.float32
+    if args.image_feature_type == "none":
+        # construct on device — a host-side 3.2 GB zeros array would be
+        # shipped over the TPU tunnel
+        feats = jnp.zeros((bank.total_nodes, 36, MEAN_POOLED_DIM), feat_dtype)
+    elif args.image_feature_type == "random":
+        feats = jax.random.normal(
+            jax.random.PRNGKey(0),
+            (bank.total_nodes, 36, MEAN_POOLED_DIM),
+            feat_dtype,
+        )
+    else:
+        stores = [
+            paths.MEAN_POOLED_FEATURE_STORES[d]
+            for d in sorted(args.image_feature_datasets)
+        ]
+        missing = [s for s in stores if not os.path.exists(s)]
+        if missing:
+            raise FileNotFoundError(
+                f"feature store(s) not found: {missing}; download them or "
+                "use --image_feature_type none/random"
+            )
+        feats = jnp.asarray(load_tsv_feature_bank(stores, bank), feat_dtype)
+    tables = vecenv.make_env_tables(bank, feats)
+    feature_dim = int(tables.features.shape[-1])
+    return datasets, bank, tables, feature_dim
+
+
+def feature_name(args):
+    if args.image_feature_type == "mean_pooled":
+        return "+".join(sorted(args.image_feature_datasets)) + "_mean_pooled"
+    return args.image_feature_type
+
+
+def make_train_config(args, model_prefix, feedback="sample", use_glove=True):
+    return TrainConfig(
+        feedback=feedback,
+        use_glove=use_glove,
+        no_save=args.no_save,
+        snapshot_dir=args.snapshot_dir,
+        result_dir=args.result_dir,
+        plot_dir=args.plot_dir,
+        model_prefix=model_prefix,
+    )
+
+
+def follower_val_envs(val_splits, datasets, bank):
+    return {
+        split: (datasets[split], Evaluation([split], bank)) for split in val_splits
+    }
+
+
+def speaker_val_envs(val_splits, datasets):
+    return {
+        split: (datasets[split], SpeakerEvaluation([split])) for split in val_splits
+    }

@@ -1,0 +1,79 @@
+"""Pragmatic follower CLI (replaces tasks/R2R/rational_follower.py).
+
+  python -m speaker_follower_tpu.cli.rational_follower \
+      FOLLOWER_CKPT SPEAKER_CKPT --beam_size 40 --state_factored_search \
+      [--physical_traversal] [--output_file F] [--eval_file F]
+"""
+
+from __future__ import annotations
+
+import pprint
+
+from ..data.text import Tokenizer, read_vocab
+from ..inference.rational_follower import run_rational_follower
+from ..training import checkpoint as ckpt
+from ..utils.misc import run
+from . import common
+
+
+def make_arg_parser():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    common.add_common_args(parser)
+    parser.add_argument("follower_prefix")
+    parser.add_argument("speaker_prefix")
+    parser.add_argument("--beam_size", type=int, default=10)
+    parser.add_argument("--state_factored_search", action="store_true")
+    parser.add_argument("--state_first_n_ws_key", type=int, default=4)
+    parser.add_argument("--physical_traversal", action="store_true")
+    parser.add_argument("--output_file")
+    parser.add_argument("--eval_file")
+    parser.set_defaults(batch_size=30)
+    return parser
+
+
+def validate_entry_point(args):
+    vocab = read_vocab(common.resolve_vocab(args))
+    tok = Tokenizer(vocab=vocab)
+    _, val_splits = common.resolve_splits(args, ["train"], ["val_seen", "val_unseen"])
+    datasets, bank, tables, feature_dim = common.build_world(
+        args, {s: s for s in val_splits}, tok
+    )
+    follower_params = ckpt.load_params(args.follower_prefix)
+    speaker_params = ckpt.load_params(args.speaker_prefix)
+    use_glove = not args.use_train_subset
+
+    from ..evaluation.follower_eval import Evaluation
+
+    for env_name in sorted(val_splits):
+        eval_file = (
+            f"{args.eval_file}_{env_name}_speaker_weight_%.2f.json"
+            if args.eval_file
+            else None
+        )
+        output_file = f"{args.output_file}_{env_name}.json" if args.output_file else None
+        acc, counts = run_rational_follower(
+            datasets[env_name],
+            Evaluation([env_name], bank),
+            follower_params,
+            speaker_params,
+            tables,
+            bank,
+            beam_size=args.beam_size,
+            state_factored_search=args.state_factored_search,
+            state_first_n_ws_key=args.state_first_n_ws_key,
+            physical_traversal=args.physical_traversal,
+            use_glove=use_glove,
+            output_file=output_file,
+            eval_file=eval_file,
+        )
+        pprint.pprint(acc)
+        weight, summary = max(acc.items(), key=lambda p: p[1]["success_rate"])
+        print(f"max success_rate with weight: {weight}")
+        for metric, val in summary.items():
+            print(f"{env_name} {metric}\t{val}")
+
+
+if __name__ == "__main__":
+    run(make_arg_parser(), validate_entry_point)

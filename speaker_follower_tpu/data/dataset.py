@@ -55,6 +55,7 @@ class R2RDataset:
         self.splits = list(splits)
         self.tokenizer = tokenizer
         self.batch_size = batch_size
+        self.data_dir = data_dir
         self.data = []
         self.gt = {}
         self.scans = set()

@@ -93,25 +93,37 @@ def main():
         "seq_length": jnp.asarray(lengths),
     }
 
-    def run(params, tables, batch, rng):
-        out = rollout(
-            params, tables, batch, rng,
-            feedback="argmax", episode_len=EPISODE_LEN, deterministic=True,
-        )
-        return out.nodes, out.score
+    # outer jit with positional args: calling a partial-jitted fn with
+    # static kwargs costs ~28 ms of host dispatch per call on this 1-core
+    # host — 65x the device time
+    run = jax.jit(
+        lambda p, t, b, k: (
+            lambda o=rollout(
+                p, t, b, k,
+                feedback="argmax", episode_len=EPISODE_LEN, deterministic=True,
+            ): (o.nodes, o.score)
+        )()
+    )
 
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    nodes, score = jax.block_until_ready(run(params, tables, batch, key))
+    nodes, score = run(params, tables, batch, key)
+    np.asarray(nodes)  # block_until_ready returns early over the axon tunnel
     sys.stderr.write(f"[bench] compile+first run {time.time() - t0:.1f}s\n")
 
     for _ in range(N_WARMUP - 1):
-        jax.block_until_ready(run(params, tables, batch, key))
+        np.asarray(run(params, tables, batch, key)[0])
 
+    # pipelined dispatch, then fetch EVERY result: the only honest timing
+    # through the tunnel (block_until_ready under-reports)
     t0 = time.time()
-    for i in range(N_ITERS):
-        nodes, score = run(params, tables, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready((nodes, score))
+    outs = [
+        run(params, tables, batch, jax.random.fold_in(key, i))
+        for i in range(N_ITERS)
+    ]
+    for nodes, score in outs:
+        np.asarray(nodes)
+        np.asarray(score)
     dt = time.time() - t0
 
     eps_per_sec = BATCH * N_ITERS / dt

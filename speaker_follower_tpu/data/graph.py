@@ -127,16 +127,25 @@ def _all_pairs_shortest_paths(edges: np.ndarray, positions: np.ndarray):
 
     Replaces the reference's per-scan ``nx.all_pairs_dijkstra_path`` /
     ``..._path_length`` (tasks/R2R/env.py:712-721, tasks/R2R/eval.py:41-44).
-    Uses scipy's C Dijkstra, then converts the predecessor matrix into a
-    next-hop matrix by walking rows in increasing-distance order.
+    Prefers the native C++ Dijkstra (native/sfnav.cpp) which extracts next
+    hops directly; falls back to scipy's C Dijkstra + a predecessor-matrix
+    walk in increasing-distance order.
     """
-    from scipy.sparse import csr_matrix
-    from scipy.sparse.csgraph import dijkstra
-
     n = edges.shape[0]
     diff = positions[:, None, :] - positions[None, :, :]
     w = np.sqrt((diff**2).sum(-1))
     w = np.where(edges, w, 0.0)
+
+    try:
+        from . import native_io
+
+        if native_io.available():
+            return native_io.all_pairs_shortest(edges, w.astype(np.float32))
+    except Exception:
+        pass
+
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import dijkstra
     graph = csr_matrix(w)
     dist, pred = dijkstra(graph, directed=False, return_predecessors=True)
 

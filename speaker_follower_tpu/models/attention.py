@@ -77,6 +77,59 @@ def visual_soft_dot(p, h, visual_context, mask=None):
     return weighted, attn
 
 
+def visual_soft_dot_fast(p, h, visual_context, mask=None):
+    """Algebraically reassociated VisualSoftDotAttention.
+
+    attn_logits = (vis @ W_v^T + b_v) @ (W_h h + b_h)
+                = vis @ (W_v^T t) + b_v . t          with t = W_h h + b_h
+
+    Identical function (up to float reassociation), but the per-view
+    projection (B, V, dot) is never materialized: the dominant cost drops
+    from V x Dv x dot to Dv x dot per element (~60x fewer FLOPs at
+    V=36, Dv=2176, dot=256).  XLA cannot reassociate matmuls itself.
+    """
+    t = linear(p["linear_in_h"], h)  # (B, dot)
+    v = t @ p["linear_in_v"]["w"]  # (B, Dv): W_v^T t
+    bias_term = t @ p["linear_in_v"]["b"]  # (B,)
+    attn = jnp.einsum("bvd,bd->bv", visual_context, v) + bias_term[:, None]
+    if mask is not None:
+        attn = jnp.where(mask, NEG_INF, attn)
+    attn = jax.nn.softmax(attn, axis=1)
+    weighted = jnp.einsum("bv,bvd->bd", attn, visual_context)
+    return weighted, attn
+
+
+def eltwise_prod_scoring_fast(p, h, all_u_t):
+    """Algebraically reassociated EltwiseProdScoring.
+
+    logit = w_out^T [(W_h h + b_h) o (W_a u + b_a)] + b_out
+          = h^T M u + h . v1 + u . v2 + c
+    with M = W_h^T diag(w_out) W_a (precomputed from params; hoisted out of
+    the rollout scan as loop-invariant by XLA), v1 = W_h^T diag(w_out) b_a,
+    v2 = W_a^T diag(w_out) b_h, c = b_h . diag(w_out) b_a + b_out.
+
+    Cuts the per-step cost from A x Da x dot to H x Da per element (~16x
+    fewer FLOPs at A=16, Da=2176, dot=256, H=512).
+    """
+    w_h = p["linear_in_h"]["w"]  # (dot, H)
+    b_h = p["linear_in_h"]["b"]  # (dot,)
+    w_a = p["linear_in_a"]["w"]  # (dot, Da)
+    b_a = p["linear_in_a"]["b"]  # (dot,)
+    w_o = p["linear_out"]["w"][0]  # (dot,)
+    b_o = p["linear_out"]["b"][0]  # ()
+
+    m = (w_h * w_o[:, None]).T @ w_a  # (H, Da)
+    v1 = w_h.T @ (w_o * b_a)  # (H,)
+    v2 = w_a.T @ (w_o * b_h)  # (Da,)
+    c = jnp.dot(b_h * w_o, b_a) + b_o
+
+    hm = h @ m  # (B, Da)
+    logits = jnp.einsum("bd,bad->ba", hm, all_u_t)
+    logits = logits + (h @ v1)[:, None]
+    logits = logits + jnp.einsum("bad,d->ba", all_u_t, v2) + c
+    return logits
+
+
 def eltwise_prod_scoring_init(key, h_dim, a_dim, dot_dim=256):
     """EltwiseProdScoring (model.py:329-352)."""
     k1, k2, k3 = jax.random.split(key, 3)

@@ -1,0 +1,187 @@
+"""Pallas TPU kernel: fused panorama gather + visual attention.
+
+The rollout's visual-attention path is memory-bound: XLA first gathers each
+episode's 36-view feature rows from the HBM bank into a (B, 36, D) buffer,
+writes it to HBM, then re-reads it for the attention matmuls.  This kernel
+fuses the gather with the (reassociated) attention math: per episode it
+DMAs the feature rows HBM->VMEM once, computes the attention logits
+(feat . v_feat + loc . v_loc + bias), the softmax, and the weighted
+context, never materializing the gathered panorama in HBM.  The 36x128
+location-embedding table lives entirely in VMEM.
+
+Traffic per episode step drops from ~3x (gather write + 2 reads) to 1x
+the 36xD feature block.
+
+Matches models/attention.visual_soft_dot_fast composed with the
+pano-feature assembly of env/vecenv.observe (feature | loc embedding).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..env.vecenv import LOC_EMBED_DIM
+
+NUM_VIEWS = 36
+PADDED_VIEWS = 40  # Mosaic DMA slices need the sublane dim aligned to 8
+
+
+def pad_views_for_pallas(features):
+    """Pad the feature bank's views dim 36 -> 40 (zero rows) so per-node
+    DMA slices satisfy Mosaic's sublane alignment."""
+    import jax.numpy as jnp
+
+    t, v, d = features.shape
+    assert v == NUM_VIEWS
+    return jnp.pad(features, ((0, 0), (0, PADDED_VIEWS - v), (0, 0)))
+
+
+def _kernel(
+    # scalar prefetch
+    gnode_ref,  # (B,) int32
+    view_ref,  # (B,) int32
+    # inputs
+    features_hbm,  # (T, 40, D) in ANY/HBM (views padded to 40)
+    loc_table_ref,  # (36, 36, 128) VMEM
+    v_feat_ref,  # (BB, D) VMEM — W_v_feat^T t per element
+    v_loc_ref,  # (BB, 128) VMEM — W_v_loc^T t per element
+    bias_ref,  # (BB, 1) VMEM — b_v . t per element
+    # outputs
+    weighted_ref,  # (BB, D + 128) VMEM
+    attn_ref,  # (BB, 36) VMEM
+    # scratch
+    feat_scratch,  # (BB, 36, D) VMEM
+    loc_scratch,  # (BB, 36, 128) VMEM
+    sem,  # DMA semaphores (BB,)
+    *,
+    block_b: int,
+):
+    b0 = pl.program_id(0) * block_b
+    d = v_feat_ref.shape[-1]
+
+    # launch all row gathers (HBM -> VMEM) for this block; they overlap
+    for i in range(block_b):
+        pltpu.make_async_copy(
+            features_hbm.at[gnode_ref[b0 + i]], feat_scratch.at[i], sem.at[i]
+        ).start()
+    # per-row loc-embedding row copy (VMEM -> VMEM, cheap)
+    for i in range(block_b):
+        loc_scratch[i] = loc_table_ref[view_ref[b0 + i]]
+    for i in range(block_b):
+        pltpu.make_async_copy(
+            features_hbm.at[gnode_ref[b0 + i]], feat_scratch.at[i], sem.at[i]
+        ).wait()
+
+    feat = feat_scratch[:, :NUM_VIEWS, :].astype(jnp.float32)  # (BB, 36, D)
+    loc = loc_scratch[...].astype(jnp.float32)  # (BB, 36, 128)
+
+    # attention logits via elementwise multiply + reduce (VPU; Mosaic's
+    # dot_general doesn't support the 1D/batched forms needed here)
+    logits = (
+        (feat * v_feat_ref[...][:, None, :]).sum(axis=-1)
+        + (loc * v_loc_ref[...][:, None, :]).sum(axis=-1)
+        + bias_ref[...]
+    )  # (BB, 36)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn_ref[...] = attn
+
+    weighted_ref[:, :d] = (feat * attn[:, :, None]).sum(axis=1)
+    weighted_ref[:, d:] = (loc * attn[:, :, None]).sum(axis=1)
+
+
+@partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_pano_attention(
+    features,  # (T, 40, D) feature bank, views padded (pad_views_for_pallas)
+    loc_table,  # (36, 36, 128) loc embedding table
+    gnode,  # (B,) int32 global node per episode
+    view_index,  # (B,) int32 current viewIndex per episode
+    v_feat,  # (B, D) float32: W_v_feat^T (W_h h + b_h)
+    v_loc,  # (B, 128) float32: W_v_loc^T (W_h h + b_h)
+    bias,  # (B,) float32: b_v . (W_h h + b_h)
+    *,
+    block_b: int = 8,
+    interpret: bool = False,
+):
+    """Returns (weighted (B, D+128) f32, attn (B, 36) f32)."""
+    b = gnode.shape[0]
+    d = features.shape[-1]
+    assert b % block_b == 0, f"batch {b} must be a multiple of block_b={block_b}"
+    assert features.shape[1] == PADDED_VIEWS, (
+        "pass a view-padded bank (pad_views_for_pallas)"
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // block_b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # features stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # loc table
+            pl.BlockSpec((block_b, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, LOC_EMBED_DIM), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((block_b, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_b, d + LOC_EMBED_DIM),
+                lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_b, NUM_VIEWS), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_b, PADDED_VIEWS, d), features.dtype),
+            pltpu.VMEM((block_b, NUM_VIEWS, LOC_EMBED_DIM), loc_table.dtype),
+            pltpu.SemaphoreType.DMA((block_b,)),
+        ],
+    )
+    weighted, attn = pl.pallas_call(
+        partial(_kernel, block_b=block_b),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d + LOC_EMBED_DIM), jnp.float32),
+            jax.ShapeDtypeStruct((b, NUM_VIEWS), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        gnode.astype(jnp.int32),
+        view_index.astype(jnp.int32),
+        features,
+        loc_table,
+        v_feat.astype(jnp.float32),
+        v_loc.astype(jnp.float32),
+        bias.astype(jnp.float32)[:, None],
+    )
+    return weighted, attn
+
+
+def pano_attention_reference(
+    features, loc_table, gnode, view_index, v_feat, v_loc, bias
+):
+    """Pure-XLA reference implementation (gather + fast visual attention)."""
+    feat = features[gnode, :NUM_VIEWS].astype(jnp.float32)  # (B, 36, D)
+    loc = loc_table[view_index].astype(jnp.float32)  # (B, 36, 128)
+    logits = (
+        jnp.einsum("bvd,bd->bv", feat, v_feat)
+        + jnp.einsum("bvl,bl->bv", loc, v_loc)
+        + bias[:, None]
+    )
+    attn = jax.nn.softmax(logits, axis=-1)
+    weighted = jnp.concatenate(
+        [
+            jnp.einsum("bv,bvd->bd", attn, feat),
+            jnp.einsum("bv,bvl->bl", attn, loc),
+        ],
+        axis=-1,
+    )
+    return weighted, attn

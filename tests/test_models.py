@@ -242,3 +242,43 @@ class TestSpeakerModels:
         )
         assert logit.shape == (b, 20)
         assert np.allclose(np.asarray(alpha[1, 3:]), 0.0)
+
+
+class TestFastAttentionEquivalence:
+    """The reassociated fast paths compute the same function as the exact
+    reference formulations (up to f32 reassociation rounding)."""
+
+    def test_visual_soft_dot_fast(self):
+        key = jax.random.PRNGKey(7)
+        p = attn.visual_soft_dot_init(key, 512, 2176)
+        h = jax.random.normal(key, (4, 512))
+        vis = jax.random.normal(jax.random.PRNGKey(8), (4, 36, 2176))
+        w1, a1 = attn.visual_soft_dot(p, h, vis)
+        w2, a2 = attn.visual_soft_dot_fast(p, h, vis)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=2e-3)
+
+    def test_eltwise_prod_scoring_fast(self):
+        key = jax.random.PRNGKey(9)
+        p = attn.eltwise_prod_scoring_init(key, 512, 2176)
+        h = jax.random.normal(key, (4, 512))
+        u = jax.random.normal(jax.random.PRNGKey(10), (4, 16, 2176))
+        l1 = attn.eltwise_prod_scoring(p, h, u)
+        l2 = attn.eltwise_prod_scoring_fast(p, h, u)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-3)
+
+    def test_decoder_step_fast_vs_exact(self):
+        from speaker_follower_tpu.models import follower as fm
+
+        key = jax.random.PRNGKey(11)
+        b, a_num, v, e, f, h = 3, 16, 36, 64, 64, 32
+        p = fm.decoder_init_params(key, embedding_size=e, hidden_size=h, feature_size=f)
+        u_prev = jax.random.normal(key, (b, e))
+        all_u = jax.random.normal(key, (b, a_num, e))
+        vis = jax.random.normal(key, (b, v, f))
+        ctx = jax.random.normal(key, (b, 7, h))
+        h0 = jnp.zeros((b, h))
+        out_fast = fm.decoder_step(p, u_prev, all_u, vis, h0, h0, ctx, fast=True)
+        out_exact = fm.decoder_step(p, u_prev, all_u, vis, h0, h0, ctx, fast=False)
+        for x, y in zip(out_fast, out_exact):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)

@@ -87,6 +87,21 @@ class R2RDataset:
     def reset_epoch(self):
         self.ix = 0
 
+    def get_state(self):
+        """Serializable iterator state (cursor, item order, shuffle RNG) —
+        part of the resumable training checkpoint."""
+        return {
+            "ix": self.ix,
+            "order": [item["instr_id"] for item in self.data],
+            "rng_state": self._rng.getstate(),
+        }
+
+    def set_state(self, state):
+        by_id = {item["instr_id"]: item for item in self.data}
+        self.data = [by_id[iid] for iid in state["order"]]
+        self.ix = state["ix"]
+        self._rng.setstate(state["rng_state"])
+
     def next_minibatch(self, sort_instr_length: bool = False):
         """Draw the next ``batch_size`` items (wrap-around + reshuffle)."""
         batch = self.data[self.ix : self.ix + self.batch_size]

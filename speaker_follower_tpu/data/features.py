@@ -102,6 +102,61 @@ def _read_feature_tsv_py(path, fieldnames):
             yield item["scanId"], item["viewpointId"], feats
 
 
+class ConvolutionalFeatureStore:
+    """Per-view res5c convolutional features from .npy files.
+
+    Mirrors ConvolutionalImageFeatures (tasks/R2R/env.py:390-429): split
+    layout {dir}/{scan}/{viewpoint}_{viewIndex}[_downscaled].npy or
+    combined {dir}/{scan}/{viewpoint}.npy (memmapped).  Like the
+    reference, this store is NOT wired into the panorama environment
+    (env.py:312 raises NotImplementedError there) — it serves the
+    precompute/inspection tooling.
+    """
+
+    def __init__(self, store_dirs, split=True, downscaled=False):
+        if isinstance(store_dirs, str):
+            store_dirs = [store_dirs]
+        self.store_dirs = store_dirs
+        self.split = split
+        self.downscaled = downscaled
+        self._cache = {}
+
+    def get_features(self, scan_id, viewpoint_id, view_index):
+        import os
+
+        key = (scan_id, viewpoint_id, view_index)
+        if key in self._cache:
+            return self._cache[key]
+        feats = []
+        for d in self.store_dirs:
+            if self.split:
+                suffix = "_downscaled" if self.downscaled else ""
+                path = os.path.join(
+                    d, scan_id, f"{viewpoint_id}_{view_index}{suffix}.npy"
+                )
+                feats.append(np.load(path))
+            else:
+                path = os.path.join(d, scan_id, f"{viewpoint_id}.npy")
+                feats.append(np.load(path, mmap_mode="r")[view_index])
+        out = np.concatenate(feats, axis=0) if len(feats) > 1 else feats[0]
+        if len(self._cache) < 3000:
+            self._cache[key] = out
+        return out
+
+
+def bottom_up_features(*args, **kwargs):
+    """Bottom-up (Faster-RCNN detection) features.
+
+    The reference declares this featurizer but raises NotImplementedError
+    for the panorama environment (tasks/R2R/env.py:299-305); we mirror
+    that contract until a pano-compatible design exists.
+    """
+    raise NotImplementedError(
+        "bottom_up_attention is not implemented for the panorama "
+        "environment (parity with tasks/R2R/env.py:305)"
+    )
+
+
 def write_tsv_feature_bank(path, graph_bank: GraphBank, bank: np.ndarray):
     """Emit the reference TSV schema from a packed bank (for the feature
     precompute pipeline; scripts/precompute_img_features.py:160-168)."""

@@ -17,7 +17,11 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # convert device arrays only; leave python scalars/tuples (e.g. the
+    # dataset iterator's random-module state) untouched
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )
 
 
 def save_state(path: str, state) -> None:

@@ -209,6 +209,32 @@ class FollowerTrainer:
                 self._write_csv(split_string)
         return best_metrics
 
+    def save_training_state(self, path: str, iteration: int = 0):
+        """Full resumable state — params, optimizer moments, RNG, logs —
+        unlike the reference's weights-only snapshots (follower.py:1032
+        'Loads parameters (but not training state)')."""
+        ckpt.save_state(
+            path,
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "rng": self.rng,
+                "iteration": iteration,
+                "data_log": dict(self.data_log),
+                "dataset_state": self.train_ds.get_state(),
+            },
+        )
+
+    def load_training_state(self, path: str) -> int:
+        state = ckpt.load_state(path)
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.rng = jnp.asarray(state["rng"])
+        self.data_log = defaultdict(list, state["data_log"])
+        if "dataset_state" in state:
+            self.train_ds.set_state(state["dataset_state"])
+        return int(state["iteration"])
+
     def _write_csv(self, split_string):
         os.makedirs(self.cfg.plot_dir, exist_ok=True)
         path = os.path.join(

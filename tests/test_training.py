@@ -122,3 +122,36 @@ def test_frozen_embedding_stays_frozen(world):
         np.asarray(trainer.params["encoder"]["lstm_fwd"]["w_ih"]),
         np.asarray(params["encoder"]["lstm_fwd"]["w_ih"]),
     )
+
+
+def test_full_state_checkpoint_resume(world, tmp_path):
+    """Resume must be bit-exact: save after k iters, train m more; reload
+    and train the same m — identical params."""
+    vocab, tok, ds, bank, tables = world
+    import copy
+
+    def make_trainer(seed=5):
+        params = init_follower(
+            jax.random.PRNGKey(seed), vocab_size=len(vocab),
+            word_embedding_size=16, hidden_size=32,
+            action_embedding_size=FEAT_DIM + 128, feature_size=FEAT_DIM + 128,
+        )
+        cfg = TrainConfig(feedback="teacher", use_glove=False, no_save=True)
+        return FollowerTrainer(params, tables, ds, bank, cfg,
+                               rng=jax.random.PRNGKey(7))
+
+    t1 = make_trainer()
+    t1.train_interval(2)
+    path = str(tmp_path / "state.ckpt")
+    t1.save_training_state(path, iteration=2)
+    t1.train_interval(3)
+
+    t2 = make_trainer()
+    it = t2.load_training_state(path)  # restores dataset iterator state too
+    assert it == 2
+    t2.train_interval(3)
+
+    a = jax.tree_util.tree_leaves(t1.params)
+    b = jax.tree_util.tree_leaves(t2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

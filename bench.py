@@ -54,7 +54,8 @@ def main():
     feats_bf16 = jax.random.normal(
         jax.random.PRNGKey(0), (bank.total_nodes, 36, FEAT_DIM), jnp.bfloat16
     )
-    tables = vecenv.make_env_tables(bank, feats_bf16)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    tables = vecenv.make_env_tables(bank, feats_bf16, pad_views=use_pallas)
     sys.stderr.write(
         f"[bench] {len(scans)} scans, {bank.total_nodes} nodes, "
         f"setup {time.time() - t0:.1f}s, device={jax.devices()[0]}\n"
@@ -101,6 +102,7 @@ def main():
             lambda o=rollout(
                 p, t, b, k,
                 feedback="argmax", episode_len=EPISODE_LEN, deterministic=True,
+                use_pallas=use_pallas,
             ): (o.nodes, o.score)
         )()
     )
@@ -135,7 +137,8 @@ def main():
             {
                 "metric": "greedy_follower_episodes_per_sec",
                 "value": round(eps_per_sec, 1),
-                "unit": "episodes/s/chip (batch %d, 10-step, full-dim)" % BATCH,
+                "unit": "episodes/s/chip (batch %d, 10-step, full-dim%s)"
+                % (BATCH, ", pallas" if use_pallas else ""),
                 "vs_baseline": round(eps_per_sec / REFERENCE_EPISODES_PER_SEC, 1),
             }
         )

@@ -69,6 +69,8 @@ def _select_action(feedback, logit, log_probs, target, valid, rng):
         "dropout_ratio",
         "use_glove",
         "forced",
+        "use_pallas",
+        "pallas_interpret",
     ),
 )
 def rollout(
@@ -83,6 +85,8 @@ def rollout(
     dropout_ratio: float = 0.5,
     use_glove: bool = True,
     forced: bool = False,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> RolloutOutput:
     """Run a full batched episode.
 
@@ -115,10 +119,39 @@ def rollout(
         forced_actions = batch["forced_actions"]
         forced_len = batch["forced_len"]
 
+    if use_pallas:
+        assert tables.features.shape[1] == 40, (
+            "use_pallas requires view-padded tables "
+            "(make_env_tables(..., pad_views=True))"
+        )
+
     def step_fn(carry, t):
         state, h, c, u_prev, rng = carry
         obs = vecenv.observe(tables, state, goal)
         rng, drop_key, sample_key = jax.random.split(rng, 3)
+
+        precomputed_visual = None
+        if use_pallas:
+            # fused HBM gather + visual attention (ops/pano_attention.py):
+            # obs.pano_feature goes unused and its gather is DCE'd
+            from ..models.core import linear
+            from ..ops.pano_attention import fused_pano_attention
+
+            p_v = params["decoder"]["visual_attention"]
+            t_proj = linear(p_v["linear_in_h"], h)  # (B, dot)
+            w_v = p_v["linear_in_v"]["w"]  # (dot, D + 128)
+            d_feat = tables.features.shape[-1]
+            gnode = tables.offsets[state.scan] + state.node
+            precomputed_visual = fused_pano_attention(
+                tables.features,
+                tables.loc_embed,
+                gnode,
+                obs.view_index,
+                t_proj @ w_v[:, :d_feat],
+                t_proj @ w_v[:, d_feat:],
+                t_proj @ p_v["linear_in_v"]["b"],
+                interpret=pallas_interpret,
+            )
 
         h1, c1, alpha, logit, alpha_v = fmodels.decoder_step(
             params["decoder"],
@@ -132,6 +165,7 @@ def rollout(
             dropout_ratio=dropout_ratio,
             deterministic=deterministic,
             rng=drop_key,
+            precomputed_visual=precomputed_visual,
         )
         logit, log_probs = _masked_log_softmax(logit, obs.action_valid)
 

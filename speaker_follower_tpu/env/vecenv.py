@@ -106,7 +106,18 @@ class Observation(NamedTuple):
     view_index: jnp.ndarray  # (B,) int32
 
 
-def make_env_tables(graph_bank: GraphBank, feature_bank) -> EnvTables:
+def make_env_tables(
+    graph_bank: GraphBank, feature_bank, pad_views: bool = False
+) -> EnvTables:
+    """``pad_views`` stores the bank with the view dim padded 36 -> 40 so
+    the Pallas fused pano-attention kernel can DMA per-node slices
+    (Mosaic sublane alignment); the XLA paths slice back to 36."""
+    if pad_views and feature_bank.shape[1] == NUM_VIEWS:
+        import jax.numpy as _jnp
+
+        feature_bank = _jnp.pad(
+            _jnp.asarray(feature_bank), ((0, 0), (0, 40 - NUM_VIEWS), (0, 0))
+        )
     return EnvTables(
         offsets=jnp.asarray(graph_bank.offsets),
         adj_next=jnp.asarray(graph_bank.adj_next),
@@ -165,7 +176,8 @@ def observe(tables: EnvTables, state: EnvState, goal) -> Observation:
     feat_dtype = tables.features.dtype
 
     # panorama features + viewIndex-relative location embedding
-    pano = tables.features[gnode]  # (B, 36, D)
+    # (the bank may be view-padded to 40 for the Pallas kernel)
+    pano = tables.features[gnode][:, :NUM_VIEWS]  # (B, 36, D)
     view_index = state.heading + NUM_HEADINGS * state.elev
     loc = tables.loc_embed[view_index].astype(feat_dtype)  # (B, 36, 128)
     pano_feature = jnp.concatenate([pano, loc], axis=-1)
@@ -186,10 +198,10 @@ def observe(tables: EnvTables, state: EnvState, goal) -> Observation:
     rel_heading = _canonical(
         nbr_bearing - state.heading[:, None].astype(jnp.float32) * ANGLE_INC
     )
-    # neighbor view feature (B, MAX_DEGREE, D)
-    nbr_feat = jnp.take_along_axis(
-        pano, nbr_view[..., None], axis=1
-    )
+    # neighbor view feature (B, MAX_DEGREE, D) — gathered directly from the
+    # bank (not sliced from `pano`) so the full panorama materialization is
+    # dead-code-eliminated when pano_feature is unused (Pallas fused path)
+    nbr_feat = tables.features[gnode[:, None], nbr_view]
     angle_embed = _angle_embedding(rel_heading, nbr_elev).astype(feat_dtype)
     nbr_action = jnp.concatenate([nbr_feat, angle_embed], axis=-1)
     nbr_action = jnp.where(slot_valid[..., None], nbr_action, 0.0)

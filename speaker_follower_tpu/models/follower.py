@@ -138,6 +138,7 @@ def decoder_step(
     deterministic: bool = True,
     rng=None,
     fast: bool = True,
+    precomputed_visual=None,
 ):
     """One decoder step (model.py:377-397).
 
@@ -146,9 +147,16 @@ def decoder_step(
 
     ``fast`` uses the algebraically reassociated attention/scoring (same
     function up to float rounding, ~4x fewer FLOPs; see attention.py).
+    ``precomputed_visual``: optional (feature, alpha_v) from the Pallas
+    fused pano-attention kernel — skips the in-graph visual attention
+    (``visual_context`` may then be None).
     """
-    vis_attn = attn.visual_soft_dot_fast if fast else attn.visual_soft_dot
-    feature, alpha_v = vis_attn(p["visual_attention"], h_0, visual_context)
+    if precomputed_visual is not None:
+        feature, alpha_v = precomputed_visual
+        feature = feature.astype(h_0.dtype)
+    else:
+        vis_attn = attn.visual_soft_dot_fast if fast else attn.visual_soft_dot
+        feature, alpha_v = vis_attn(p["visual_attention"], h_0, visual_context)
     concat_input = jnp.concatenate([u_t_prev, feature], axis=-1)
     if rng is not None:
         rng, k = jax.random.split(rng)

@@ -58,7 +58,10 @@ def _device_batch(enc):
 
 class FollowerTrainer:
     def __init__(self, params, tables, train_ds, graph_bank, cfg: TrainConfig,
-                 val_envs=None, rng=None):
+                 val_envs=None, rng=None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh for data-parallel episode
+        sharding — params/optimizer/tables replicated, batches sharded on
+        their leading axis (parallel/mesh.py)."""
         self.params = params
         self.tables = tables
         self.train_ds = train_ds
@@ -66,15 +69,46 @@ class FollowerTrainer:
         self.cfg = cfg
         self.val_envs = val_envs or {}
         self.rng = rng if rng is not None else jax.random.PRNGKey(1)
+        self.mesh = mesh
 
         frozen = {"encoder/embedding/w"} if cfg.use_glove else set()
         mask = make_frozen_mask(params, frozen)
         self.tx = adam_with_torch_wd(
             cfg.learning_rate, cfg.weight_decay, trainable_mask=mask
         )
-        self.opt_state = self.tx.init(params)
+        if mesh is not None:
+            from ..parallel import mesh as pm
+
+            self.params = pm.replicate(mesh, self.params)
+            self.tables = type(tables)(
+                *[jax.device_put(jnp.asarray(x), pm.replicated(mesh)) for x in tables]
+            )
+        self.opt_state = self.tx.init(self.params)
         self.data_log = defaultdict(list)
         self._step_fn = self._build_step_fn()
+        # outer-jit the eval rollout with positional args: direct calls to
+        # the partial-jitted rollout pay ~28ms host dispatch per call
+        self._eval_rollouts = {}
+
+    def _eval_rollout(self, feedback):
+        if feedback not in self._eval_rollouts:
+            cfg = self.cfg
+
+            self._eval_rollouts[feedback] = jax.jit(
+                lambda p, t, b, r: ra.rollout(
+                    p, t, b, r,
+                    feedback=feedback, episode_len=cfg.episode_len,
+                    deterministic=True, use_glove=cfg.use_glove,
+                )
+            )
+        return self._eval_rollouts[feedback]
+
+    def _maybe_shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from ..parallel import mesh as pm
+
+        return pm.shard_batch(self.mesh, batch)
 
     def _build_step_fn(self):
         cfg = self.cfg
@@ -112,7 +146,8 @@ class FollowerTrainer:
             )
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss = self._step_fn(
-                self.params, self.opt_state, self.tables, _device_batch(enc), step_rng
+                self.params, self.opt_state, self.tables,
+                self._maybe_shard(_device_batch(enc)), step_rng,
             )
             losses.append(float(loss))
         return losses
@@ -132,10 +167,9 @@ class FollowerTrainer:
                 max_instruction_length=self.cfg.max_instruction_length,
             )
             self.rng, step_rng = jax.random.split(self.rng)
-            out = ra.rollout(
-                self.params, self.tables, _device_batch(enc), step_rng,
-                feedback=feedback, episode_len=self.cfg.episode_len,
-                deterministic=True, use_glove=self.cfg.use_glove,
+            out = self._eval_rollout(feedback)(
+                self.params, self.tables,
+                self._maybe_shard(_device_batch(enc)), step_rng,
             )
             if collect_loss:
                 losses.append(float(out.loss))

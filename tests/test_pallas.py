@@ -48,3 +48,43 @@ def test_fused_rejects_unaligned_batch():
             jnp.zeros((7, 64)), jnp.zeros((7, 128)), jnp.zeros(7),
             block_b=8, interpret=True,
         )
+
+
+def test_pallas_rollout_matches_xla_rollout():
+    """Full argmax rollout with the fused kernel == the pure-XLA rollout
+    (same trajectories, scores to float tolerance)."""
+    from speaker_follower_tpu.agents import rollout as ra
+    from speaker_follower_tpu.data.dataset import R2RDataset, encode_batch
+    from speaker_follower_tpu.data.features import random_feature_bank
+    from speaker_follower_tpu.data.graph import load_graph_bank
+    from speaker_follower_tpu.data.text import Tokenizer, read_vocab
+    from speaker_follower_tpu.env import vecenv
+    from speaker_follower_tpu.models.follower import init_follower
+
+    vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+    ds = R2RDataset(["sub_val_seen"], tokenizer=Tokenizer(vocab=vocab),
+                    batch_size=8, seed=10)
+    keep = sorted(ds.scans)[:2]
+    ds.data = [d for d in ds.data if d["scan"] in keep]
+    bank = load_graph_bank(keep, "/root/reference/connectivity")
+    feats = random_feature_bank(bank, dim=64, seed=0)
+    tables_x = vecenv.make_env_tables(bank, feats)
+    tables_p = vecenv.make_env_tables(bank, feats, pad_views=True)
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=64 + 128, feature_size=64 + 128,
+    )
+    enc = encode_batch(ds.next_minibatch(), bank, max_instruction_length=40)
+    db = {k: jnp.asarray(enc[k]) for k in
+          ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]}
+
+    out_x = ra.rollout(params, tables_x, db, jax.random.PRNGKey(1),
+                       feedback="argmax", episode_len=10)
+    out_p = ra.rollout(params, tables_p, db, jax.random.PRNGKey(1),
+                       feedback="argmax", episode_len=10,
+                       use_pallas=True, pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_x.nodes), np.asarray(out_p.nodes))
+    np.testing.assert_array_equal(np.asarray(out_x.actions), np.asarray(out_p.actions))
+    np.testing.assert_allclose(
+        np.asarray(out_x.score), np.asarray(out_p.score), atol=1e-4
+    )

@@ -135,14 +135,14 @@ def rollout(
             # fused HBM gather + visual attention (ops/pano_attention.py):
             # obs.pano_feature goes unused and its gather is DCE'd
             from ..models.core import linear
-            from ..ops.pano_attention import fused_pano_attention
+            from ..ops.pano_attention import pano_attention
 
             p_v = params["decoder"]["visual_attention"]
             t_proj = linear(p_v["linear_in_h"], h)  # (B, dot)
             w_v = p_v["linear_in_v"]["w"]  # (dot, D + 128)
             d_feat = tables.features.shape[-1]
             gnode = tables.offsets[state.scan] + state.node
-            precomputed_visual = fused_pano_attention(
+            precomputed_visual = pano_attention(
                 tables.features,
                 tables.loc_embed,
                 gnode,
@@ -150,7 +150,8 @@ def rollout(
                 t_proj @ w_v[:, :d_feat],
                 t_proj @ w_v[:, d_feat:],
                 t_proj @ p_v["linear_in_v"]["b"],
-                interpret=pallas_interpret,
+                8,
+                pallas_interpret,
             )
 
         h1, c1, alpha, logit, alpha_v = fmodels.decoder_step(

@@ -306,6 +306,24 @@ class SpeakerTrainer:
         self.opt_state = self.tx.init(params)
         self.data_log = defaultdict(list)
         self._step_fn = self._build_step_fn()
+        self._eval_fns = {}
+
+    def _eval_fn(self, feedback, unroll_len):
+        key = (feedback, unroll_len)
+        if key not in self._eval_fns:
+            cfg = self.cfg
+
+            self._eval_fns[key] = jax.jit(
+                lambda p, g, seq, r: sa.score_instructions(
+                    p, g, seq, r,
+                    feedback=feedback,
+                    instruction_len=cfg.max_instruction_length,
+                    unroll_len=unroll_len,
+                    deterministic=True,
+                    use_glove=cfg.use_glove,
+                )
+            )
+        return self._eval_fns[key]
 
     def _encode_speaker_batch(self, batch):
         enc = encode_batch(
@@ -375,13 +393,8 @@ class SpeakerTrainer:
             enc = self._encode_speaker_batch(batch)
             gold, instr_seq, unroll_len = self._gold_and_instr(enc)
             self.rng, step_rng = jax.random.split(self.rng)
-            out = sa.score_instructions(
-                self.params, gold, instr_seq, step_rng,
-                feedback=feedback,
-                instruction_len=self.cfg.max_instruction_length,
-                unroll_len=unroll_len,
-                deterministic=True,
-                use_glove=self.cfg.use_glove,
+            out = self._eval_fn(feedback, unroll_len)(
+                self.params, gold, instr_seq, step_rng
             )
             if collect_loss:
                 losses.append(float(out.loss))

@@ -88,3 +88,37 @@ def test_pallas_rollout_matches_xla_rollout():
     np.testing.assert_allclose(
         np.asarray(out_x.score), np.asarray(out_p.score), atol=1e-4
     )
+
+
+def test_pano_attention_gradients_match_xla():
+    """custom_vjp backward must equal XLA autodiff of the reference path."""
+    from speaker_follower_tpu.ops.pano_attention import (
+        pano_attention,
+        pano_attention_reference,
+    )
+
+    rng = np.random.RandomState(3)
+    t, d, b = 30, 128, 8
+    features = pad_views_for_pallas(
+        jnp.asarray(rng.randn(t, 36, d).astype(np.float32))
+    )
+    loc_table = jnp.asarray(rng.randn(36, 36, 128).astype(np.float32))
+    gnode = jnp.asarray(rng.randint(t, size=b).astype(np.int32))
+    view = jnp.asarray(rng.randint(36, size=b).astype(np.int32))
+    v_feat = jnp.asarray(rng.randn(b, d).astype(np.float32) * 0.1)
+    v_loc = jnp.asarray(rng.randn(b, 128).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(b).astype(np.float32))
+
+    def loss_fused(vf, vl, bb):
+        w, a = pano_attention(features, loc_table, gnode, view, vf, vl, bb,
+                              8, True)
+        return (w**2).sum() + (a * jnp.arange(36)).sum()
+
+    def loss_ref(vf, vl, bb):
+        w, a = pano_attention_reference(features, loc_table, gnode, view, vf, vl, bb)
+        return (w**2).sum() + (a * jnp.arange(36)).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(v_feat, v_loc, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(v_feat, v_loc, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-4)

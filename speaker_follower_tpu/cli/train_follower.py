@@ -35,6 +35,8 @@ def make_arg_parser():
     parser.add_argument("--use_pretraining", action="store_true")
     parser.add_argument("--pretrain_splits", nargs="+", default=[])
     parser.add_argument("--n_pretrain_iters", type=int, default=50000)
+    parser.add_argument("--use_test_set", action="store_true",
+                        help="also track metrics on the test split")
     parser.add_argument("--seed", type=int, default=1)
     return parser
 
@@ -42,9 +44,10 @@ def make_arg_parser():
 def train_setup(args):
     vocab = read_vocab(common.resolve_vocab(args))
     tok = Tokenizer(vocab=vocab)
-    train_splits, val_splits = common.resolve_splits(
-        args, ["train"], ["val_seen", "val_unseen"]
-    )
+    val = ["val_seen", "val_unseen"]
+    if getattr(args, "use_test_set", False):
+        val.append("test")
+    train_splits, val_splits = common.resolve_splits(args, ["train"], val)
     split_map = {s: s for s in train_splits + val_splits}
     datasets, bank, tables, feature_dim = common.build_world(args, split_map, tok)
     if args.use_pretraining:

@@ -109,8 +109,27 @@ def main():
 
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    nodes, score = run(params, tables, batch, key)
-    np.asarray(nodes)  # block_until_ready returns early over the axon tunnel
+    try:
+        nodes, score = run(params, tables, batch, key)
+        np.asarray(nodes)  # block_until_ready returns early over the tunnel
+    except Exception as e:  # pallas remote-compile hiccup: fall back to XLA
+        if not use_pallas:
+            raise
+        sys.stderr.write(f"[bench] pallas path failed ({type(e).__name__}); "
+                         "falling back to XLA\n")
+        use_pallas = False
+        tables = vecenv.make_env_tables(bank, feats_bf16)
+        run = jax.jit(
+            lambda p, t, b, k: (
+                lambda o=rollout(
+                    p, t, b, k,
+                    feedback="argmax", episode_len=EPISODE_LEN,
+                    deterministic=True,
+                ): (o.nodes, o.score)
+            )()
+        )
+        nodes, score = run(params, tables, batch, key)
+        np.asarray(nodes)
     sys.stderr.write(f"[bench] compile+first run {time.time() - t0:.1f}s\n")
 
     for _ in range(N_WARMUP - 1):

@@ -34,6 +34,9 @@ def make_arg_parser():
     parser.add_argument("--n_iters", type=int, default=20000)
     parser.add_argument("--use_pretraining", action="store_true")
     parser.add_argument("--pretrain_splits", nargs="+", default=[])
+    parser.add_argument("--pretrain_data_dir", default=None,
+                        help="directory holding R2R_{split}.json for the "
+                        "pretrain splits (e.g. augmentation output)")
     parser.add_argument("--n_pretrain_iters", type=int, default=50000)
     parser.add_argument("--use_test_set", action="store_true",
                         help="also track metrics on the test split")
@@ -54,7 +57,8 @@ def train_setup(args):
         from ..data.dataset import R2RDataset
 
         datasets["__pretrain__"] = R2RDataset(
-            args.pretrain_splits, tokenizer=tok, batch_size=args.batch_size
+            args.pretrain_splits, tokenizer=tok, batch_size=args.batch_size,
+            data_dir=args.pretrain_data_dir,
         )
         assert datasets["__pretrain__"].scans <= set(bank.scan_ids), (
             "pretrain splits must use train scans"

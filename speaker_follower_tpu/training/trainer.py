@@ -287,7 +287,7 @@ class FollowerTrainer:
 
 class SpeakerTrainer:
     def __init__(self, params, tables, train_ds, graph_bank, cfg: TrainConfig,
-                 tokenizer=None, val_envs=None, rng=None):
+                 tokenizer=None, val_envs=None, rng=None, mesh=None):
         self.params = params
         self.tables = tables
         self.train_ds = train_ds
@@ -296,6 +296,7 @@ class SpeakerTrainer:
         self.tokenizer = tokenizer
         self.val_envs = val_envs or {}
         self.rng = rng if rng is not None else jax.random.PRNGKey(2)
+        self.mesh = mesh
 
         # speaker decoder embedding is GloVe-frozen (train_speaker.py:191-193)
         frozen = {"decoder/embedding/w"} if cfg.use_glove else set()
@@ -303,7 +304,14 @@ class SpeakerTrainer:
         self.tx = adam_with_torch_wd(
             cfg.learning_rate, cfg.weight_decay, trainable_mask=mask
         )
-        self.opt_state = self.tx.init(params)
+        if mesh is not None:
+            from ..parallel import mesh as pm
+
+            self.params = pm.replicate(mesh, self.params)
+            self.tables = type(tables)(
+                *[jax.device_put(jnp.asarray(x), pm.replicated(mesh)) for x in tables]
+            )
+        self.opt_state = self.tx.init(self.params)
         self.data_log = defaultdict(list)
         self._step_fn = self._build_step_fn()
         self._eval_fns = {}
@@ -362,11 +370,18 @@ class SpeakerTrainer:
         return step
 
     def _gold_and_instr(self, enc):
+        db = _device_batch(enc)
+        seq = jnp.asarray(enc["seq"])
+        if self.mesh is not None:
+            from ..parallel import mesh as pm
+
+            db = pm.shard_batch(self.mesh, db)
+            seq = jax.device_put(seq, pm.data_sharded(self.mesh))
         gold = sa.gold_rollout(
-            self.tables, _device_batch(enc), episode_len=self.cfg.episode_len
+            self.tables, db, episode_len=self.cfg.episode_len
         )
         unroll_len = int(np.asarray(gold.path_len).max())
-        return gold, jnp.asarray(enc["seq"]), unroll_len
+        return gold, seq, unroll_len
 
     def train_interval(self, n_iters: int):
         losses = []

@@ -80,7 +80,7 @@ def encoder_apply(
     """
     b = seq.shape[0]
     embeds = embedding(p["embedding"], seq)  # (B, L, E)
-    if not use_glove:
+    if not use_glove and rng is not None:
         rng, k = jax.random.split(rng)
         embeds = dropout(k, embeds, dropout_ratio, deterministic)
     hidden = p["lstm_fwd"]["w_hh"].shape[-1]

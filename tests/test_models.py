@@ -282,3 +282,35 @@ class TestFastAttentionEquivalence:
         out_exact = fm.decoder_step(p, u_prev, all_u, vis, h0, h0, ctx, fast=False)
         for x, y in zip(out_fast, out_exact):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+class TestVariants:
+    def test_speaker_input_att_feed_variant(self):
+        from speaker_follower_tpu.models import speaker as sm
+
+        key = jax.random.PRNGKey(20)
+        p = sm.speaker_decoder_init(
+            key, vocab_size=30, vocab_embedding_size=8, hidden_size=16,
+            use_input_att_feed=True,
+        )
+        assert "output_l1" in p
+        ctx = jax.random.normal(key, (2, 5, 16))
+        h0 = jnp.zeros((2, 16))
+        h1, c1, alpha, logit = sm.speaker_decoder_step(
+            p, jnp.array([3, 3]), h0, h0, ctx, use_input_att_feed=True
+        )
+        assert logit.shape == (2, 30)
+
+    def test_bidirectional_follower_encoder(self):
+        from speaker_follower_tpu.models import follower as fm
+
+        key = jax.random.PRNGKey(21)
+        p = fm.init_follower(
+            key, vocab_size=30, word_embedding_size=8, hidden_size=16,
+            action_embedding_size=40, feature_size=40, bidirectional=True,
+        )
+        seq = jnp.array([[5, 6, 7, 0], [8, 9, 0, 0]], jnp.int32)
+        ctx, h0, c0 = fm.encoder_apply(p["encoder"], seq, jnp.array([3, 2]))
+        # enc hidden halved, directions concatenated back to hidden_size
+        assert ctx.shape == (2, 4, 16)
+        assert h0.shape == (2, 16)

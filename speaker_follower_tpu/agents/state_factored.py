@@ -38,7 +38,13 @@ from ..models.attention import NEG_INF
 
 @dataclass
 class Hyp:
-    """One hypothesis: a linked-list node (reference InferenceState)."""
+    """One hypothesis: a linked-list node (reference InferenceState).
+
+    The last-action embedding is NOT stored: it is recomputed on device
+    from (parent state, action) at expansion time — fetching the (cap, A,
+    2176) action-embedding tensor to host every round costs ~4.4 MB per
+    round over the tunnel and dominated the search wall-clock.
+    """
 
     parent: Optional["Hyp"]
     node: int  # local node index (world state after arriving here)
@@ -49,7 +55,6 @@ class Hyp:
     score: float
     h: np.ndarray  # decoder state to use when expanding this hyp
     c: np.ndarray
-    u: np.ndarray  # last action embedding
     action_score: float = 0.0  # log-prob of .action
 
 
@@ -106,21 +111,41 @@ def _encode(params, seq, seq_length, use_glove=True):
 
 @jax.jit
 def _decode_step(params, tables, ctx, seq_mask, scan, node, heading, elev,
-                 h, c, u, instance_ix):
-    """Batched decoder step on arbitrary world states (padded bucket)."""
+                 h, c, parent_node, parent_heading, parent_elev, action,
+                 instance_ix):
+    """Batched decoder step on arbitrary world states (padded bucket).
+
+    The previous-action embedding is recomputed here from the PARENT state
+    + taken action (zeros for roots, action < 0), so the host never
+    transfers embedding tensors.
+    """
     m = node.shape[0]
     state = vecenv.EnvState(
         scan=scan, node=node, heading=heading, elev=elev,
         step=jnp.zeros((m,), jnp.int32), done=jnp.zeros((m,), bool),
     )
     obs = vecenv.observe(tables, state, node)  # goal unused (teacher ignored)
+
+    parent_state = vecenv.EnvState(
+        scan=scan, node=jnp.maximum(parent_node, 0),
+        heading=parent_heading, elev=parent_elev,
+        step=jnp.zeros((m,), jnp.int32), done=jnp.zeros((m,), bool),
+    )
+    parent_obs = vecenv.observe(tables, parent_state, node)
+    u = jnp.take_along_axis(
+        parent_obs.action_embedding,
+        jnp.maximum(action, 0)[:, None, None],
+        axis=1,
+    )[:, 0]
+    u = jnp.where((action >= 0)[:, None], u, 0.0)
+
     h1, c1, alpha, logit, _ = fmodels.decoder_step(
         params["decoder"], u, obs.action_embedding, obs.pano_feature,
         h, c, ctx[instance_ix], seq_mask[instance_ix], deterministic=True,
     )
     logit = jnp.where(obs.action_valid, logit, NEG_INF)
     log_probs = jax.nn.log_softmax(logit, axis=-1)
-    return log_probs, h1, c1, obs.action_embedding, obs.action_valid
+    return log_probs, h1, c1, obs.action_valid
 
 
 def _bucket(m: int) -> int:
@@ -174,7 +199,6 @@ def state_factored_search(
                 score=0.0,
                 h=h0[i],
                 c=c0[i],
-                u=np.zeros((emb,), np.float32),
             )
         )
 
@@ -215,7 +239,7 @@ def state_factored_search(
                 arr[j] = getter(i, hyp)
             return jnp.asarray(arr)
 
-        log_probs, h1, c1, act_emb, valid = _decode_step(
+        log_probs, h1, c1, valid = _decode_step(
             params, tables, ctx, seq_mask,
             padded(lambda i, h_: scan_np[i], (), np.int32),
             padded(lambda i, h_: h_.node, (), np.int32),
@@ -223,13 +247,15 @@ def state_factored_search(
             padded(lambda i, h_: h_.elev, (), np.int32),
             padded(lambda i, h_: h_.h, (hdim,), np.float32),
             padded(lambda i, h_: h_.c, (hdim,), np.float32),
-            padded(lambda i, h_: h_.u, (emb,), np.float32),
+            padded(lambda i, h_: h_.parent.node if h_.parent else -1, (), np.int32),
+            padded(lambda i, h_: h_.parent.heading if h_.parent else 0, (), np.int32),
+            padded(lambda i, h_: h_.parent.elev if h_.parent else 1, (), np.int32),
+            padded(lambda i, h_: h_.action, (), np.int32),
             padded(lambda i, h_: i, (), np.int32),
         )
         log_probs = np.asarray(log_probs)
         h1 = np.asarray(h1)
         c1 = np.asarray(c1)
-        act_emb = np.asarray(act_emb)
         valid = np.asarray(valid)
 
         # expand: all valid actions of every beam hypothesis
@@ -259,7 +285,6 @@ def state_factored_search(
                         score=hyp.score + lp,
                         h=h1[j],
                         c=c1[j],
-                        u=act_emb[j, a],
                         action_score=lp,
                     )
                 )

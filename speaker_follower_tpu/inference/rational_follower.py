@@ -78,7 +78,11 @@ def speaker_score_candidates(
     seq, _, _ = batch_instructions(
         encodings, max_instruction_length, reverse=False
     )
+    # bucket the static unroll length to even values: bounds jit recompiles
+    # to at most 5 variants (padded steps are zero-embedding LSTM updates,
+    # identical for every candidate scored in the same call)
     unroll = int(np.asarray(gold.path_len[:m]).max()) if m else 1
+    unroll = min(unroll + (unroll % 2), episode_len)
     out = sa.score_instructions(
         speaker_params, gold, jnp.asarray(seq), jax.random.PRNGKey(0),
         feedback="teacher", instruction_len=max_instruction_length,

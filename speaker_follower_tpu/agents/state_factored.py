@@ -155,6 +155,30 @@ def _bucket(m: int) -> int:
     return size
 
 
+def _retry_transient(fn, attempts: int = 4, base_delay: float = 2.0):
+    """Retry transient backend errors.  Every device call in this search is
+    stateless (all state re-sent per round), so a lost dispatch over a
+    flaky tunneled backend is safely retryable."""
+    import time as _time
+
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            name = type(e).__name__
+            transient = "INTERNAL" in str(e) or "JaxRuntimeError" in name
+            if not transient or attempt == attempts - 1:
+                raise
+            import sys as _sys
+
+            _sys.stderr.write(
+                f"[state_factored] transient backend error ({name}), "
+                f"retry {attempt + 1}/{attempts - 1}\n"
+            )
+            _time.sleep(base_delay * (attempt + 1))
+    raise RuntimeError("unreachable")
+
+
 def state_factored_search(
     params,
     tables: vecenv.EnvTables,
@@ -239,24 +263,24 @@ def state_factored_search(
                 arr[j] = getter(i, hyp)
             return jnp.asarray(arr)
 
-        log_probs, h1, c1, valid = _decode_step(
-            params, tables, ctx, seq_mask,
-            padded(lambda i, h_: scan_np[i], (), np.int32),
-            padded(lambda i, h_: h_.node, (), np.int32),
-            padded(lambda i, h_: h_.heading, (), np.int32),
-            padded(lambda i, h_: h_.elev, (), np.int32),
-            padded(lambda i, h_: h_.h, (hdim,), np.float32),
-            padded(lambda i, h_: h_.c, (hdim,), np.float32),
-            padded(lambda i, h_: h_.parent.node if h_.parent else -1, (), np.int32),
-            padded(lambda i, h_: h_.parent.heading if h_.parent else 0, (), np.int32),
-            padded(lambda i, h_: h_.parent.elev if h_.parent else 1, (), np.int32),
-            padded(lambda i, h_: h_.action, (), np.int32),
-            padded(lambda i, h_: i, (), np.int32),
-        )
-        log_probs = np.asarray(log_probs)
-        h1 = np.asarray(h1)
-        c1 = np.asarray(c1)
-        valid = np.asarray(valid)
+        def run_round():
+            lp, h1_, c1_, v_ = _decode_step(
+                params, tables, ctx, seq_mask,
+                padded(lambda i, h_: scan_np[i], (), np.int32),
+                padded(lambda i, h_: h_.node, (), np.int32),
+                padded(lambda i, h_: h_.heading, (), np.int32),
+                padded(lambda i, h_: h_.elev, (), np.int32),
+                padded(lambda i, h_: h_.h, (hdim,), np.float32),
+                padded(lambda i, h_: h_.c, (hdim,), np.float32),
+                padded(lambda i, h_: h_.parent.node if h_.parent else -1, (), np.int32),
+                padded(lambda i, h_: h_.parent.heading if h_.parent else 0, (), np.int32),
+                padded(lambda i, h_: h_.parent.elev if h_.parent else 1, (), np.int32),
+                padded(lambda i, h_: h_.action, (), np.int32),
+                padded(lambda i, h_: i, (), np.int32),
+            )
+            return np.asarray(lp), np.asarray(h1_), np.asarray(c1_), np.asarray(v_)
+
+        log_probs, h1, c1, valid = _retry_transient(run_round)
 
         # expand: all valid actions of every beam hypothesis
         all_successors = [[] for _ in range(b)]

@@ -83,12 +83,17 @@ def speaker_score_candidates(
     # identical for every candidate scored in the same call)
     unroll = int(np.asarray(gold.path_len[:m]).max()) if m else 1
     unroll = min(unroll + (unroll % 2), episode_len)
-    out = sa.score_instructions(
-        speaker_params, gold, jnp.asarray(seq), jax.random.PRNGKey(0),
-        feedback="teacher", instruction_len=max_instruction_length,
-        unroll_len=max(unroll, 1), deterministic=True, use_glove=use_glove,
-    )
-    return np.asarray(out.score)[:m]
+    from ..agents.state_factored import _retry_transient
+
+    def run_scoring():
+        out = sa.score_instructions(
+            speaker_params, gold, jnp.asarray(seq), jax.random.PRNGKey(0),
+            feedback="teacher", instruction_len=max_instruction_length,
+            unroll_len=max(unroll, 1), deterministic=True, use_glove=use_glove,
+        )
+        return np.asarray(out.score)[:m]
+
+    return _retry_transient(run_scoring)
 
 
 def generate_candidates(
@@ -149,7 +154,13 @@ def run_rational_follower(
     dataset.reset_epoch()
     candidate_lists_by_instr_id = {}
     looped = False
+    batch_idx = 0
     while not looped:
+        import sys as _sys
+
+        _sys.stderr.write(f"[rational_follower] batch {batch_idx}\n")
+        _sys.stderr.flush()
+        batch_idx += 1
         batch = dataset.next_minibatch()
         enc = encode_batch(
             batch, graph_bank, max_instruction_length=max_instruction_length

@@ -38,7 +38,16 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place per-episode arrays with their leading axis split over the data
-    axis.  Batch size must divide the mesh size."""
+    axis.  The mesh size must divide the batch size; for ragged final
+    batches pad first with :func:`pad_batch_to`."""
+    n = mesh.devices.size
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1 and v.shape[0] % n:
+            raise ValueError(
+                f"batch axis 0 of {k!r} has size {v.shape[0]}, not divisible by "
+                f"the {n}-device mesh; pad with pad_batch_to(batch, "
+                f"{-(-v.shape[0] // n) * n}) first"
+            )
     sharding = data_sharded(mesh)
     return {
         k: jax.device_put(jnp.asarray(v), sharding)

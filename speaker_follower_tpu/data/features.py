@@ -57,8 +57,9 @@ def load_tsv_feature_bank(
 
     Multiple stores are concatenated along the feature axis (the reference
     concatenates imagenet+places365 the same way, tasks/R2R/env.py:372-375).
-    Viewpoints missing from the store keep zero features; with ``strict``
-    every included node must be present.
+    With ``strict`` every included node must be present; otherwise missing
+    viewpoints keep zero features and a warning reports how many (a
+    truncated TSV must never silently train on zeros).
     """
     if isinstance(tsv_paths, str):
         tsv_paths = [tsv_paths]
@@ -79,12 +80,25 @@ def load_tsv_feature_bank(
             g = graph_bank.global_index(scan_id, viewpoint_id)
             bank[g, :, k * MEAN_POOLED_DIM : (k + 1) * MEAN_POOLED_DIM] = feats
             seen[g] = True
-    if strict:
-        for sid in graph_bank.scan_ids:
-            g0 = graph_bank.global_index(sid, graph_bank.graphs[sid].node_ids[0])
-        missing = int((~seen).sum())
-        if missing:
-            raise ValueError(f"{missing} viewpoints missing from feature store")
+    # Only *included* nodes are expected in the store (excluded viewpoints
+    # are never visited and the precompute pipeline skips them).
+    included = np.zeros((graph_bank.total_nodes,), dtype=bool)
+    for si, sid in enumerate(graph_bank.scan_ids):
+        g = graph_bank.graphs[sid]
+        included[graph_bank.offsets[si] : graph_bank.offsets[si] + len(g.node_ids)] = (
+            g.included
+        )
+    missing = int((included & ~seen).sum())
+    if missing:
+        msg = (
+            f"{missing}/{int(included.sum())} included viewpoints missing from "
+            f"feature store(s) {list(tsv_paths)}"
+        )
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg + "; their features stay zero", stacklevel=2)
     return bank.astype(dtype)
 
 
@@ -147,14 +161,15 @@ class ConvolutionalFeatureStore:
 def bottom_up_features(*args, **kwargs):
     """Bottom-up (Faster-RCNN detection) features.
 
-    The reference declares this featurizer but raises NotImplementedError
-    for the panorama environment (tasks/R2R/env.py:299-305); we mirror
-    that contract until a pano-compatible design exists.
+    The full featurizer lives in :mod:`.bottom_up` (BottomUpFeaturizer);
+    this constructor exists for feature-registry symmetry.  Like the
+    reference (tasks/R2R/env.py:299-305), the *panorama environment* does
+    not consume it — the featurizer serves the BottomUpImageAttention
+    model path and the precompute/caching tooling.
     """
-    raise NotImplementedError(
-        "bottom_up_attention is not implemented for the panorama "
-        "environment (parity with tasks/R2R/env.py:305)"
-    )
+    from .bottom_up import BottomUpFeaturizer
+
+    return BottomUpFeaturizer(*args, **kwargs)
 
 
 def write_tsv_feature_bank(path, graph_bank: GraphBank, bank: np.ndarray):

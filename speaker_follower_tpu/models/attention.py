@@ -130,6 +130,117 @@ def eltwise_prod_scoring_fast(p, h, all_u_t):
     return logits
 
 
+def feedforward_image_attention_init(key, context_size, hidden_size, image_feature_size=2048):
+    """FeedforwardImageAttention (model.py:180-204).  The reference's 1x1
+    Conv2d layers are plain channel-wise linears here (same math, MXU-
+    friendly layout)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "fc1_feature": linear_init(k1, image_feature_size, hidden_size, bias=False),
+        "fc1_context": linear_init(k2, context_size, hidden_size, bias=True),
+        "fc2": linear_init(k3, hidden_size, 1, bias=True),
+    }
+
+
+def feedforward_image_attention(p, feature, context):
+    """feature: (B, C, H, W) conv feature map; context: (B, Dc).
+
+    Returns (attended (B, C), attention (B, H*W)) — additive attention
+    over spatial positions (model.py:192-204).
+    """
+    b, c = feature.shape[:2]
+    flat = feature.reshape(b, c, -1).transpose(0, 2, 1)  # (B, HW, C)
+    hidden = linear(p["fc1_feature"], flat) + linear(p["fc1_context"], context)[:, None, :]
+    scores = linear(p["fc2"], jax.nn.relu(hidden))[..., 0]  # (B, HW)
+    attention = jax.nn.softmax(scores, axis=1)
+    attended = jnp.einsum("bpc,bp->bc", flat, attention)
+    return attended, attention
+
+
+def multiplicative_image_attention_init(key, context_size, hidden_size, image_feature_size=2048):
+    """MultiplicativeImageAttention (model.py:207-236)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "fc1_feature": linear_init(k1, image_feature_size, hidden_size, bias=True),
+        "fc1_context": linear_init(k2, context_size, hidden_size, bias=True),
+        "fc2": linear_init(k3, hidden_size, 1, bias=True),
+    }
+
+
+def multiplicative_image_attention(p, feature, context):
+    """feature: (B, C, H, W); context: (B, Dc) -> (attended (B, C),
+    attention (B, H*W)) — bilinear (dot-product) attention over spatial
+    positions (model.py:218-236).  Note: the reference's fc2 is unused in
+    its forward; kept in params for checkpoint parity."""
+    b, c = feature.shape[:2]
+    flat = feature.reshape(b, c, -1).transpose(0, 2, 1)  # (B, HW, C)
+    feature_hidden = linear(p["fc1_feature"], flat)  # (B, HW, Dh)
+    context_hidden = linear(p["fc1_context"], context)  # (B, Dh)
+    scores = jnp.einsum("bph,bh->bp", feature_hidden, context_hidden)
+    attention = jax.nn.softmax(scores, axis=1)
+    attended = jnp.einsum("bpc,bp->bc", flat, attention)
+    return attended, attention
+
+
+def bottom_up_image_attention_init(
+    key,
+    context_size,
+    object_embedding_size,
+    attribute_embedding_size,
+    hidden_size,
+    num_objects,
+    num_attributes,
+    image_feature_size=2048,
+):
+    """BottomUpImageAttention (model.py:239-297): attends over detection
+    instances whose features concatenate [cls_prob | visual | attribute
+    embedding | object embedding | 5-d spatial]."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    feature_size = image_feature_size + object_embedding_size + attribute_embedding_size + 1 + 5
+    return {
+        "object_embedding": jax.random.normal(k1, (num_objects, object_embedding_size)),
+        "attribute_embedding": jax.random.normal(
+            k2, (num_attributes, attribute_embedding_size)
+        ),
+        "fc1_context": linear_init(k3, context_size, hidden_size, bias=True),
+        "fc1_feature": linear_init(k4, feature_size, hidden_size, bias=True),
+        "fc2": linear_init(k5, hidden_size, 1, bias=True),
+    }
+
+
+def bottom_up_image_attention(p, bu, context):
+    """bu: BottomUpViewpoint of batch arrays — cls_prob (B, d),
+    image_features (B, d, 2048), attribute_indices / object_indices
+    (B, d) int, spatial_features (B, d, 5), no_object_mask (B, d) bool;
+    context: (B, Dc).
+
+    Returns (attended_feats (B, F), attention (B, d)): gated multiplicative
+    attention with L2-normalized interaction and pad masking
+    (model.py:264-297).
+    """
+    attribute_embedding = p["attribute_embedding"][bu.attribute_indices]
+    object_embedding = p["object_embedding"][bu.object_indices]
+    feats = jnp.concatenate(
+        [
+            bu.cls_prob[..., None],
+            bu.image_features,
+            attribute_embedding,
+            object_embedding,
+            bu.spatial_features,
+        ],
+        axis=2,
+    )  # (B, d, F)
+    x_context = linear(p["fc1_context"], context)[:, None, :]  # (B, 1, Dh)
+    x_feature = linear(p["fc1_feature"], feats)  # (B, d, Dh)
+    x = x_context * x_feature
+    x = x / jnp.linalg.norm(x, axis=2, keepdims=True)
+    scores = linear(p["fc2"], x)[..., 0]  # (B, d)
+    scores = jnp.where(bu.no_object_mask, NEG_INF, scores)
+    attention = jax.nn.softmax(scores, axis=1)
+    attended = jnp.einsum("bd,bdf->bf", attention, feats)
+    return attended, attention
+
+
 def eltwise_prod_scoring_init(key, h_dim, a_dim, dot_dim=256):
     """EltwiseProdScoring (model.py:329-352)."""
     k1, k2, k3 = jax.random.split(key, 3)

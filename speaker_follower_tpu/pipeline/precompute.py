@@ -51,6 +51,7 @@ def precompute_mean_pooled_tsv(
     out_path: str,
     *,
     stages=RESNET152_STAGES,
+    style: str = "caffe",
     batch_size: int = VIEWPOINT_SIZE,
     width: int = WIDTH,
     height: int = HEIGHT,
@@ -67,7 +68,7 @@ def precompute_mean_pooled_tsv(
             for i in range(0, VIEWPOINT_SIZE, batch_size):
                 x = preprocess_bgr(views[i : i + batch_size])
                 feats.append(
-                    np.asarray(resnet_apply(params, x, stages=stages, output="pool5"))
+                    np.asarray(resnet_apply(params, x, stages=stages, output="pool5", style=style))
                 )
             feats = np.concatenate(feats, axis=0).astype(np.float32)
             writer.writerow(
@@ -93,6 +94,7 @@ def precompute_convolutional_npy(
     out_dir: str,
     *,
     stages=RESNET152_STAGES,
+    style: str = "caffe",
     batch_size: int = 4,
     split: bool = True,
 ):
@@ -106,7 +108,7 @@ def precompute_convolutional_npy(
         for i in range(0, VIEWPOINT_SIZE, batch_size):
             x = preprocess_bgr(views[i : i + batch_size])
             feats.append(
-                np.asarray(resnet_apply(params, x, stages=stages, output="res5c"))
+                np.asarray(resnet_apply(params, x, stages=stages, output="res5c", style=style))
             )
         feats = np.concatenate(feats, axis=0)
         d = os.path.join(out_dir, scan)

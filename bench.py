@@ -1,14 +1,25 @@
-"""Benchmark: batched greedy follower rollouts, episodes/sec on one chip.
+"""Benchmark: follower TRAINING throughput (episodes/sec) on one chip.
 
-Workload: the production inference path — full-dim follower (hidden 512,
-ResNet features 2048 + 128 loc embedding, bfloat16 feature bank), argmax
-decoding, 10-step episodes, over the real 90-scan Matterport navigation
-graphs with synthetic features (the released feature TSV is download-only).
+Headline workload (the apples-to-apples comparison): a full jitted train
+step — sample-feedback rollout forward, backward, Adam+weight-decay
+update — on the full-dim follower (hidden 512, ResNet features 2048 + 128
+loc embedding, bfloat16 feature bank), 10-step episodes, over the real
+90-scan Matterport navigation graphs with synthetic features (the released
+feature TSV is download-only).  K train steps are chained inside one
+jitted lax.scan so tunnel dispatch cost is amortized and the number is
+device throughput.
 
 Baseline: the reference publishes one wall-clock figure — 50k training
 iterations at batch 100 in ~50 hours on a single GPU (README.md:101), i.e.
-~27.8 episodes/sec through its C++-sim + PyTorch pipeline.  That number is
-the denominator for vs_baseline.
+~27.8 episodes/sec through its C++-sim + PyTorch training pipeline.  That
+is the vs_baseline denominator for the train-step metric (same workload
+class: fwd+bwd+optimizer).
+
+Also printed as [bench] stderr lines (not the JSON): train-step throughput
+at the reference's own batch 100, estimated MFU from XLA's cost analysis,
+and the greedy-inference throughput (the round-1 metric, kept for
+continuity — NOTE it compares inference against the training baseline and
+overstates accordingly).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REFERENCE_EPISODES_PER_SEC = 50000 * 100 / (50 * 3600)  # ~27.78
+PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (MXU); f32 ops run below this
 
 BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 EPISODE_LEN = 10
@@ -149,16 +161,102 @@ def main():
 
     eps_per_sec = BATCH * N_ITERS / dt
     sys.stderr.write(
-        f"[bench] {N_ITERS} x {BATCH} greedy episodes in {dt:.2f}s\n"
+        f"[bench] {N_ITERS} x {BATCH} greedy episodes in {dt:.2f}s -> "
+        f"{eps_per_sec:.0f} eps/s INFERENCE (batch {BATCH}"
+        f"{', pallas' if use_pallas else ''}; not baseline-comparable)\n"
     )
+
+    # ---------------- train-step benchmark (the headline) ----------------
+    # fwd (sample-feedback rollout) + bwd + Adam/wd, K steps chained in one
+    # lax.scan so host/tunnel dispatch is amortized out of the measurement.
+    import jax.lax as lax
+
+    from speaker_follower_tpu.training.optim import adam_with_torch_wd
+
+    if use_pallas:
+        # training uses the XLA pano path (pallas fwd is custom-vjp'd but
+        # the benched trainer matches training/trainer.py defaults)
+        tables_train = vecenv.make_env_tables(bank, feats_bf16)
+    else:
+        tables_train = tables
+
+    tx = adam_with_torch_wd(1e-4, 5e-4)
+    opt_state = tx.init(params)
+    k_steps = int(os.environ.get("BENCH_TRAIN_SCAN", "10"))
+
+    def loss_fn(p, t, b, k):
+        return rollout(
+            p, t, b, k,
+            feedback="sample", episode_len=EPISODE_LEN,
+            deterministic=False, dropout_ratio=0.5,
+        ).loss
+
+    # tables/batch are ARGUMENTS, never closures: closed-over device arrays
+    # become baked-in executable constants (2.2 GB of feature bank)
+    def k_train_steps(p, o, key, t, b):
+        def one_step(carry, k):
+            p_, o_ = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p_, t, b, k)
+            updates, o_ = tx.update(grads, o_, p_)
+            p_ = jax.tree.map(lambda a, u: a + u, p_, updates)
+            return (p_, o_), loss
+
+        return lax.scan(one_step, (p, o), jax.random.split(key, k_steps))
+
+    results = {}
+    for train_batch_size in (100, BATCH):
+        train_batch = {
+            k: v[:train_batch_size] if v.ndim >= 1 else v for k, v in batch.items()
+        }
+        stepk = jax.jit(k_train_steps)
+        t0 = time.time()
+        lowered = stepk.lower(params, opt_state, key, tables_train, train_batch)
+        compiled = lowered.compile()
+        try:
+            flops_per_scan = float(compiled.cost_analysis().get("flops", 0.0))
+        except Exception:
+            flops_per_scan = 0.0
+        (p1, o1), losses = compiled(params, opt_state, key, tables_train, train_batch)
+        np.asarray(losses)
+        sys.stderr.write(
+            f"[bench] train-step batch {train_batch_size}: compile+first "
+            f"{time.time() - t0:.1f}s\n"
+        )
+        n_scans = max(1, N_ITERS // k_steps)
+        t0 = time.time()
+        outs = []
+        for i in range(n_scans):
+            (p1, o1), losses = compiled(
+                p1, o1, jax.random.fold_in(key, i), tables_train, train_batch
+            )
+            outs.append(losses)
+        for losses in outs:
+            np.asarray(losses)
+        dt = time.time() - t0
+        steps = n_scans * k_steps
+        train_eps = train_batch_size * steps / dt
+        mfu = flops_per_scan * n_scans / dt / PEAK_FLOPS
+        results[train_batch_size] = train_eps
+        sys.stderr.write(
+            f"[bench] {steps} train steps @ batch {train_batch_size} in "
+            f"{dt:.2f}s -> {train_eps:.0f} eps/s, "
+            f"~{flops_per_scan / k_steps / 1e9:.1f} GFLOP/step, "
+            f"{flops_per_scan * n_scans / dt / 1e9:.0f} GFLOP/s device rate, "
+            f"MFU {100 * mfu:.2f}% of {PEAK_FLOPS / 1e12:.0f} TF/s bf16 peak "
+            f"(h=512 LSTM decode: tiny matmuls, memory-bound by design)\n"
+        )
+
+    train_eps = results[BATCH]
     print(
         json.dumps(
             {
-                "metric": "greedy_follower_episodes_per_sec",
-                "value": round(eps_per_sec, 1),
-                "unit": "episodes/s/chip (batch %d, 10-step, full-dim%s)"
-                % (BATCH, ", pallas" if use_pallas else ""),
-                "vs_baseline": round(eps_per_sec / REFERENCE_EPISODES_PER_SEC, 1),
+                "metric": "train_step_episodes_per_sec",
+                "value": round(train_eps, 1),
+                "unit": "episodes/s/chip (fwd+bwd+Adam, sample feedback, "
+                "batch %d, 10-step, full-dim; reference trained at "
+                "batch 100 = %.0f eps/s on this chip)"
+                % (BATCH, results[100]),
+                "vs_baseline": round(train_eps / REFERENCE_EPISODES_PER_SEC, 1),
             }
         )
     )

@@ -13,16 +13,26 @@ Architecture: the search bookkeeping (caches, heaps, linked-list hypotheses)
 is tiny and stays on the host; the model evaluation is a jitted batched
 decoder step over all states expanded this round (padded to a fixed bucket
 size so recompiles stay bounded).  Successor world states come from the
-host-side graph tables — no simulator stepping at all.  This trades a small
-host loop for exact reference semantics; the standard beam search
-(agents/beam.py) is the fully on-device fast path.
+host-side graph tables — no simulator stepping at all.
+
+Per-round device traffic is minimized for flaky/tunneled backends:
+  * decoder h/c live in a device-resident slot table, functionally
+    scatter-updated inside the jitted step (donated buffers) — hidden
+    states are NEVER round-tripped to the host; hypotheses hold a slot
+    index.  Slots are host-refcounted and recycled once no unexpanded
+    hypothesis references them.
+  * all per-row host inputs travel as ONE packed (cap, 11) int32 array;
+    the only downloads are the (cap, A) log-probs + validity masks.
+At batch 32, beam 40 this cuts per-round transfer volume ~50x and device
+dispatches ~5x vs re-sending h/c rows each round (the round-1 design that
+died with INTERNAL tunnel errors at production batch sizes).
 """
 
 from __future__ import annotations
 
 import heapq
 import itertools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional
 
@@ -40,10 +50,9 @@ from ..models.attention import NEG_INF
 class Hyp:
     """One hypothesis: a linked-list node (reference InferenceState).
 
-    The last-action embedding is NOT stored: it is recomputed on device
-    from (parent state, action) at expansion time — fetching the (cap, A,
-    2176) action-embedding tensor to host every round costs ~4.4 MB per
-    round over the tunnel and dominated the search wall-clock.
+    Neither the last-action embedding nor the decoder state is stored:
+    the embedding is recomputed on device from (parent state, action) at
+    expansion time, and h/c live in the device slot table at ``slot``.
     """
 
     parent: Optional["Hyp"]
@@ -53,8 +62,7 @@ class Hyp:
     action: int  # action taken from parent (-1 for the root)
     action_count: int
     score: float
-    h: np.ndarray  # decoder state to use when expanding this hyp
-    c: np.ndarray
+    slot: int  # row in the device h/c slot table
     action_score: float = 0.0  # log-prob of .action
 
 
@@ -109,17 +117,36 @@ def _encode(params, seq, seq_length, use_glove=True):
     )
 
 
+# packed int columns for _decode_step
+_COLS = (
+    "scan", "node", "heading", "elev",
+    "parent_node", "parent_heading", "parent_elev", "action",
+    "instance_ix", "src_slot", "dst_slot",
+)
+
+
 @jax.jit
-def _decode_step(params, tables, ctx, seq_mask, scan, node, heading, elev,
-                 h, c, parent_node, parent_heading, parent_elev, action,
-                 instance_ix):
+def _decode_step(params, tables, ctx, seq_mask, hc_h, hc_c, ints):
     """Batched decoder step on arbitrary world states (padded bucket).
 
-    The previous-action embedding is recomputed here from the PARENT state
-    + taken action (zeros for roots, action < 0), so the host never
-    transfers embedding tensors.
+    ints: (cap, 11) int32, columns per _COLS.  h/c are gathered from and
+    scattered back into the device slot tables — only log-probs and
+    validity go back to the host.  The previous-action embedding is
+    recomputed from the PARENT state + taken action (zeros for roots,
+    action < 0).  Padded rows read/write the scratch slot 0.
+
+    NOT donated on purpose: donating the slot tables faults the TPU
+    worker at some batch sizes on this backend (kernel crash at cap=32,
+    reproduced 2026-08-16), the un-donated scatter copy is a cheap
+    on-device ~4 MB, and retrying a donated call after a transient
+    tunnel error would read consumed buffers.
     """
+    (scan, node, heading, elev, parent_node, parent_heading, parent_elev,
+     action, instance_ix, src, dst) = (ints[:, k] for k in range(len(_COLS)))
     m = node.shape[0]
+    h = hc_h[src]
+    c = hc_c[src]
+
     state = vecenv.EnvState(
         scan=scan, node=node, heading=heading, elev=elev,
         step=jnp.zeros((m,), jnp.int32), done=jnp.zeros((m,), bool),
@@ -145,7 +172,9 @@ def _decode_step(params, tables, ctx, seq_mask, scan, node, heading, elev,
     )
     logit = jnp.where(obs.action_valid, logit, NEG_INF)
     log_probs = jax.nn.log_softmax(logit, axis=-1)
-    return log_probs, h1, c1, obs.action_valid
+    hc_h = hc_h.at[dst].set(h1)
+    hc_c = hc_c.at[dst].set(c1)
+    return log_probs, obs.action_valid, hc_h, hc_c
 
 
 def _bucket(m: int) -> int:
@@ -155,25 +184,96 @@ def _bucket(m: int) -> int:
     return size
 
 
+# Largest per-dispatch row count for the decode step (see the chunking
+# comment in state_factored_search).  Override via env for stable backends.
+import os as _os
+
+_SF_MAX_DEVICE_BATCH = int(_os.environ.get("SF_MAX_DEVICE_BATCH", "8"))
+
+
+class _SlotTable:
+    """Host-refcounted allocator over the device h/c slot tables.
+
+    Slot 0 is scratch (padded rows).  A slot is referenced while some
+    *unexpanded* cached hypothesis holds it; once expanded (its h/c were
+    consumed by a decode) or evicted, the slot recycles.  Reuse is safe
+    even within the round that still reads it: gathers and scatters live
+    in one XLA program, so reads see the input buffers.
+    """
+
+    def __init__(self, capacity, hdim, dtype=jnp.float32):
+        self.capacity = capacity
+        self.hdim = hdim
+        self.h = jnp.zeros((capacity, hdim), dtype)
+        self.c = jnp.zeros((capacity, hdim), dtype)
+        self._free = list(range(capacity - 1, 0, -1))  # 0 is scratch
+        self._in_free = set(self._free)
+        self._refs = {}
+
+    def alloc(self):
+        if not self._free:
+            old = self.capacity
+            self.capacity *= 2
+            pad = jnp.zeros((old, self.hdim), self.h.dtype)
+            self.h = jnp.concatenate([self.h, pad])
+            self.c = jnp.concatenate([self.c, pad])
+            self._free = list(range(self.capacity - 1, old - 1, -1))
+            self._in_free = set(self._free)
+        s = self._free.pop()
+        self._in_free.discard(s)
+        return s
+
+    def _push_free(self, slot):
+        if slot not in self._in_free:
+            self._free.append(slot)
+            self._in_free.add(slot)
+
+    def incref(self, slot):
+        self._refs[slot] = self._refs.get(slot, 0) + 1
+
+    def decref(self, slot):
+        n = self._refs.get(slot, 0) - 1
+        if n <= 0:
+            self._refs.pop(slot, None)
+            self._push_free(slot)
+        else:
+            self._refs[slot] = n
+
+    def release_unreferenced(self, slots):
+        """Recycle freshly-allocated slots that picked up no references."""
+        for s in set(slots):
+            if s not in self._refs:
+                self._push_free(s)
+
+
+# Error-code substrings treated as transient backend/tunnel failures.
+# Anything else (compile errors, OOM=RESOURCE_EXHAUSTED, shape errors)
+# surfaces immediately.
+_TRANSIENT_MARKERS = ("INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED", "DATA_LOSS")
+
+
 def _retry_transient(fn, attempts: int = 4, base_delay: float = 2.0):
     """Retry transient backend errors.  Every device call in this search is
-    stateless (all state re-sent per round), so a lost dispatch over a
-    flaky tunneled backend is safely retryable."""
+    stateless from the host's perspective within a round (inputs re-sent),
+    so a lost dispatch over a flaky tunneled backend is safely retryable.
+    Only XLA transport error codes are retried; genuine program errors
+    (compile failures, OOM, ValueError) propagate on the first attempt.
+    """
     import time as _time
 
     for attempt in range(attempts):
         try:
             return fn()
-        except Exception as e:  # jax.errors.JaxRuntimeError and friends
-            name = type(e).__name__
-            transient = "INTERNAL" in str(e) or "JaxRuntimeError" in name
+        except Exception as e:
+            msg = str(e)
+            transient = any(marker in msg for marker in _TRANSIENT_MARKERS)
             if not transient or attempt == attempts - 1:
                 raise
             import sys as _sys
 
             _sys.stderr.write(
-                f"[state_factored] transient backend error ({name}), "
-                f"retry {attempt + 1}/{attempts - 1}\n"
+                f"[state_factored] transient backend error "
+                f"({type(e).__name__}), retry {attempt + 1}/{attempts - 1}\n"
             )
             _time.sleep(base_delay * (attempt + 1))
     raise RuntimeError("unreachable")
@@ -191,6 +291,7 @@ def state_factored_search(
     first_n_ws_key: int = 4,
     max_rounds: int = 400,
     use_glove: bool = True,
+    max_device_batch: int | None = None,
 ):
     """Returns (candidate_lists, completed_hyps, traversed_lists) mirroring
     the reference's (trajs, completed_list, traversed_lists)."""
@@ -200,12 +301,19 @@ def state_factored_search(
     )
     seq_mask = jnp.asarray(batch["seq_mask"])
     b = ctx.shape[0]
-    hdim = np.asarray(h0).shape[-1]
-    emb = tables.features.shape[-1] + vecenv.LOC_EMBED_DIM
+    hdim = h0.shape[-1]
 
-    h0 = np.asarray(h0)
-    c0 = np.asarray(c0)
     scan_np = np.asarray(batch["scan"])
+
+    # device-resident decoder-state slots; roots' h0/c0 are written once
+    # here and their slots recycle like any other once the roots expand
+    slots = _SlotTable(max(1024, _bucket(4 * b)), hdim)
+    root_slots = [slots.alloc() for _ in range(b)]
+    assert root_slots == list(range(1, b + 1))
+    slots.h = slots.h.at[1 : b + 1].set(h0)
+    slots.c = slots.c.at[1 : b + 1].set(c0)
+    for s in root_slots:
+        slots.incref(s)
 
     # per-instance host-side graph views
     graphs = [graph_bank.graphs[graph_bank.scan_ids[s]] for s in scan_np]
@@ -221,8 +329,7 @@ def state_factored_search(
                 action=-1,
                 action_count=0,
                 score=0.0,
-                h=h0[i],
-                c=c0[i],
+                slot=root_slots[i],
             )
         )
 
@@ -247,40 +354,54 @@ def state_factored_search(
             last_expanded[i] = last
 
     rounds = 0
+    truncated = False
     while any(len(completed[i]) < completion_size for i in range(b)):
         rounds += 1
         if rounds > max_rounds:
+            truncated = True
             break
         flat = [(i, hyp) for i in range(b) for hyp in beams[i]]
         if not flat:
             break
         m = len(flat)
-        cap = _bucket(m)
 
-        def padded(getter, shape, dtype):
-            arr = np.zeros((cap,) + shape, dtype)
-            for j, (i, hyp) in enumerate(flat):
-                arr[j] = getter(i, hyp)
-            return jnp.asarray(arr)
+        # Device batches above _SF_MAX_DEVICE_BATCH rows are split into
+        # chunks: this tunneled backend's worker faults nondeterministically
+        # (~15%/call) executing the decode program at cap>=32, across two
+        # independent implementations (2026-08-16), while the cap<=8
+        # program has run for hundreds of consecutive rounds without
+        # incident.  Chunking trades a few extra dispatches for using only
+        # the proven-stable compiled program.
+        chunk = max_device_batch or _SF_MAX_DEVICE_BATCH
+        log_probs = np.zeros((m, NUM_ACTIONS), np.float32)
+        valid = np.zeros((m, NUM_ACTIONS), bool)
+        dst = []
+        for c0_ix in range(0, m, chunk):
+            part = flat[c0_ix : c0_ix + chunk]
+            cap = _bucket(len(part))
+            ints = np.zeros((cap, len(_COLS)), np.int32)
+            for j, (i, hyp) in enumerate(part):
+                p = hyp.parent
+                d = slots.alloc()
+                dst.append(d)
+                ints[j] = (
+                    scan_np[i], hyp.node, hyp.heading, hyp.elev,
+                    p.node if p else -1, p.heading if p else 0, p.elev if p else 1,
+                    hyp.action, i, hyp.slot, d,
+                )
 
-        def run_round():
-            lp, h1_, c1_, v_ = _decode_step(
-                params, tables, ctx, seq_mask,
-                padded(lambda i, h_: scan_np[i], (), np.int32),
-                padded(lambda i, h_: h_.node, (), np.int32),
-                padded(lambda i, h_: h_.heading, (), np.int32),
-                padded(lambda i, h_: h_.elev, (), np.int32),
-                padded(lambda i, h_: h_.h, (hdim,), np.float32),
-                padded(lambda i, h_: h_.c, (hdim,), np.float32),
-                padded(lambda i, h_: h_.parent.node if h_.parent else -1, (), np.int32),
-                padded(lambda i, h_: h_.parent.heading if h_.parent else 0, (), np.int32),
-                padded(lambda i, h_: h_.parent.elev if h_.parent else 1, (), np.int32),
-                padded(lambda i, h_: h_.action, (), np.int32),
-                padded(lambda i, h_: i, (), np.int32),
-            )
-            return np.asarray(lp), np.asarray(h1_), np.asarray(c1_), np.asarray(v_)
+            def run_chunk():
+                lp, v_, h_, c_ = _decode_step(
+                    params, tables, ctx, seq_mask, slots.h, slots.c,
+                    jnp.asarray(ints),
+                )
+                return np.asarray(lp), np.asarray(v_), h_, c_
 
-        log_probs, h1, c1, valid = _retry_transient(run_round)
+            lp_c, valid_c, slots.h, slots.c = _retry_transient(run_chunk)
+            log_probs[c0_ix : c0_ix + len(part)] = lp_c[: len(part)]
+            valid[c0_ix : c0_ix + len(part)] = valid_c[: len(part)]
+        for _, hyp in flat:
+            slots.decref(hyp.slot)
 
         # expand: all valid actions of every beam hypothesis
         all_successors = [[] for _ in range(b)]
@@ -307,8 +428,7 @@ def state_factored_search(
                         action=a,
                         action_count=hyp.action_count + 1,
                         score=hyp.score + lp,
-                        h=h1[j],
-                        c=c1[j],
+                        slot=dst[j],
                         action_score=lp,
                     )
                 )
@@ -325,11 +445,15 @@ def state_factored_search(
             for s in sorted(all_successors[i], key=lambda t: t.score, reverse=True):
                 key = _ws_key(s, first_n_ws_key)
                 if s.action == 0 or s.action_count == episode_len:
+                    # finished hypotheses never re-expand: no slot ref
                     if key not in holding or holding[key][0].score < s.score:
                         holding[key] = (s, False)
                 else:
                     if key not in cache or cache[key][0].score < s.score:
+                        if key in cache and not cache[key][1]:
+                            slots.decref(cache[key][0].slot)
                         cache[key] = (s, False)
+                        slots.incref(s.slot)
 
             to_consider = itertools.chain(
                 ((k, hyp, False) for k, (hyp, exp) in cache.items() if not exp),
@@ -338,7 +462,6 @@ def state_factored_search(
             best = heapq.nlargest(successor_size, to_consider, key=lambda t: t[1].score)
 
             new_beam = []
-            expanded_now = []
             for key, hyp, is_completed in best:
                 if is_completed:
                     assert holding[key] == (hyp, False)
@@ -348,17 +471,28 @@ def state_factored_search(
                 else:
                     cache[key] = (hyp, True)
                     new_beam.append(hyp)
-                    expanded_now.append(hyp)
             if len(completed[i]) >= completion_size:
                 new_beams.append([])
             else:
                 new_beams.append(new_beam)
             newly_expanded.append(new_beam)
 
+        slots.release_unreferenced(dst)
         beams = new_beams
         update_traversed(newly_expanded)
         if not any(beams):
             break
+
+    if truncated:
+        import warnings
+
+        short = [i for i in range(b) if len(completed[i]) < completion_size]
+        warnings.warn(
+            f"state_factored_search truncated at max_rounds={max_rounds}: "
+            f"{len(short)}/{b} instances below completion_size "
+            f"(counts: {[len(completed[i]) for i in short]})",
+            stacklevel=2,
+        )
 
     completed_lists = [
         sorted(completed[i].values(), key=lambda t: t.score, reverse=True)[
@@ -371,7 +505,6 @@ def state_factored_search(
     candidates = []
     for i in range(b):
         g = graphs[i]
-        start_heading = float(batch["heading"][i]) * ANGLE_INC
         cands = []
         for hyp in completed_lists[i]:
             chain = backchain(hyp)

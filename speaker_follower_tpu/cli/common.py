@@ -54,6 +54,12 @@ def add_common_args(parser: argparse.ArgumentParser):
         help="use the in-repo sub_* splits and vocab",
     )
     parser.add_argument("--bfloat16_features", action="store_true")
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard the episode batch over ALL visible devices "
+        "(jax.sharding Mesh; params/tables replicated, gradients psum'd "
+        "by XLA). Batch size must be a multiple of the device count.",
+    )
     parser.add_argument("--snapshot_dir", default=paths.SNAPSHOT_DIR)
     parser.add_argument("--result_dir", default=paths.RESULT_DIR)
     parser.add_argument("--plot_dir", default=paths.PLOT_DIR)

@@ -29,6 +29,10 @@ def make_arg_parser():
     parser.add_argument("--physical_traversal", action="store_true")
     parser.add_argument("--output_file")
     parser.add_argument("--eval_file")
+    parser.add_argument(
+        "--val_splits", nargs="+", default=None,
+        help="restrict evaluation to these splits (default: all val splits)",
+    )
     parser.set_defaults(batch_size=30)
     return parser
 
@@ -46,6 +50,9 @@ def validate_entry_point(args):
 
     from ..evaluation.follower_eval import Evaluation
 
+    if args.val_splits:
+        val_splits = [s for s in val_splits if s in args.val_splits]
+        assert val_splits, f"--val_splits matched nothing: {args.val_splits}"
     for env_name in sorted(val_splits):
         eval_file = (
             f"{args.eval_file}_{env_name}_speaker_weight_%.2f.json"

@@ -137,3 +137,55 @@ def test_follower_trainer_on_mesh(world):
     # eval path also works sharded
     results, _ = tr.test(ds, feedback="argmax")
     assert len(results) == len(ds)
+
+
+def test_data_parallel_training_equivalence_50_iters(world):
+    """50 full training iterations on the 8-device mesh vs one device:
+    the parameter trajectories must stay numerically identical (teacher
+    feedback, no dropout -> only float accumulation differs).  Extends the
+    single-step check to a real optimization trajectory (VERDICT r1 #9)."""
+    vocab, ds, bank, tables, params = world
+    mesh = pm.make_mesh()
+    tx = adam_with_torch_wd(1e-3)
+
+    def step(params, opt_state, tables, batch, rng):
+        loss, grads = jax.value_and_grad(_loss_fn)(params, tables, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+    step_j = jax.jit(step)
+
+    # identical batch schedule for both runs
+    import copy
+
+    ds1 = copy.deepcopy(ds)
+    ds8 = copy.deepcopy(ds)
+
+    p1, o1 = params, tx.init(params)
+    p8 = pm.replicate(mesh, params)
+    o8 = pm.replicate(mesh, tx.init(params))
+    tables_r = vecenv.EnvTables(*[
+        jax.device_put(x, pm.replicated(mesh)) for x in tables
+    ])
+    rng = jax.random.PRNGKey(11)
+    keys = ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask",
+            "seq_length"]
+    losses1, losses8 = [], []
+    for it in range(50):
+        rng, k = jax.random.split(rng)
+        b1 = {kk: jnp.asarray(v) for kk, v in
+              encode_batch(ds1.next_minibatch(), bank).items() if kk in keys}
+        b8 = pm.shard_batch(
+            mesh,
+            {kk: v for kk, v in
+             encode_batch(ds8.next_minibatch(), bank).items() if kk in keys},
+        )
+        p1, o1, l1 = step_j(p1, o1, tables, b1, k)
+        p8, o8, l8 = step_j(p8, o8, tables_r, b8, k)
+        losses1.append(float(l1))
+        losses8.append(float(l8))
+
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
+    assert np.mean(losses1[-10:]) < np.mean(losses1[:10])  # it actually learns
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -146,7 +146,11 @@ def _all_pairs_shortest_paths(edges: np.ndarray, positions: np.ndarray):
 
     from scipy.sparse import csr_matrix
     from scipy.sparse.csgraph import dijkstra
-    graph = csr_matrix(w)
+    # build the CSR from explicit edge indices: a dense masked matrix would
+    # silently drop a genuine zero-length edge between coincident
+    # viewpoints (non-edge and zero-weight would both read as 0)
+    rows, cols = np.nonzero(edges)
+    graph = csr_matrix((w[rows, cols], (rows, cols)), shape=(n, n))
     dist, pred = dijkstra(graph, directed=False, return_predecessors=True)
 
     next_hop = np.full((n, n), -1, dtype=np.int32)

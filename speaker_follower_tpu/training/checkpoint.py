@@ -3,36 +3,105 @@ improvement over the reference's weights-only snapshots
 (follower.py:1025-1035 "Loads parameters (but not training state)"), plus a
 weights-only import/export path for released-checkpoint parity.
 
-Uses orbax when available; falls back to pickled numpy pytrees (the state
-is pure arrays, so the fallback is lossless).
+Format: a DATA-ONLY npz archive — arrays stored as plain npz entries,
+the pytree structure and non-array leaves (ints, strings, RNG tuples) as
+a JSON manifest entry; loading uses ``allow_pickle=False`` end to end, so
+untrusted checkpoints cannot execute code.  NamedTuple nodes (optax
+states) are stored as plain tuples; callers that need the original
+container types rebuild them with :func:`restructure_like` against a
+freshly-initialized skeleton.
+
+Legacy pickle checkpoints (round-1 format, e.g. the demo snapshots under
+runs/snap/) are still read via a magic-byte sniff — pickle.load runs
+arbitrary code, so ONLY open legacy files from trusted sources.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 
 import jax
 import numpy as np
 
+_ARR = "__arr__"
 
-def _to_numpy(tree):
-    # convert device arrays only; leave python scalars/tuples (e.g. the
-    # dataset iterator's random-module state) untouched
-    return jax.tree.map(
-        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
-    )
+
+def _encode(obj, arrays):
+    """Recursively encode a pytree into (JSON-safe manifest, array list)."""
+    if isinstance(obj, (jax.Array, np.ndarray, np.generic)):
+        arrays.append(np.asarray(obj))
+        return {_ARR: len(arrays) - 1}
+    if isinstance(obj, dict):
+        return {
+            "__dict__": [[_encode(k, arrays), _encode(v, arrays)] for k, v in obj.items()]
+        }
+    if isinstance(obj, tuple):  # incl. NamedTuples -> plain tuples
+        return {"__tuple__": [_encode(v, arrays) for v in obj]}
+    if isinstance(obj, list):
+        return {"__list__": [_encode(v, arrays) for v in obj]}
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return {"__leaf__": obj}
+    raise TypeError(f"cannot checkpoint object of type {type(obj).__name__}")
+
+
+def _decode(node, arrays):
+    if _ARR in node:
+        return arrays[node[_ARR]]
+    if "__dict__" in node:
+        return {
+            _hashable(_decode(k, arrays)): _decode(v, arrays)
+            for k, v in node["__dict__"]
+        }
+    if "__tuple__" in node:
+        return tuple(_decode(v, arrays) for v in node["__tuple__"])
+    if "__list__" in node:
+        return [_decode(v, arrays) for v in node["__list__"]]
+    return node["__leaf__"]
+
+
+def _hashable(key):
+    # dict keys decoded from arrays (rare) must be hashable
+    if isinstance(key, np.ndarray):
+        return key.item() if key.ndim == 0 else tuple(key.tolist())
+    return key
 
 
 def save_state(path: str, state) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays = []
+    manifest = _encode(state, arrays)
+    # pass an open file object: np.savez appends '.npz' to bare string
+    # paths, and checkpoints here are named by metric with no extension
     with open(path, "wb") as f:
-        pickle.dump(_to_numpy(state), f, protocol=pickle.HIGHEST_PROTOCOL)
+        np.savez(
+            f,
+            manifest=np.frombuffer(json.dumps(manifest).encode(), np.uint8),
+            **{f"a{i}": a for i, a in enumerate(arrays)},
+        )
 
 
 def load_state(path: str):
     with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic[:2] == b"PK":  # npz (zip) — the data-only format
+        with np.load(path, allow_pickle=False) as z:
+            manifest = json.loads(bytes(z["manifest"]).decode())
+            return _decode(manifest, {int(k[1:]): z[k] for k in z if k != "manifest"})
+    # legacy round-1 pickle: arbitrary code execution on load — trusted
+    # sources only (see module docstring)
+    with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def restructure_like(skeleton, tree):
+    """Re-containerize ``tree`` (plain dicts/tuples from load_state) into
+    ``skeleton``'s pytree structure (e.g. optax NamedTuple states): leaf
+    order is identical because NamedTuples flatten like tuples."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    treedef = jax.tree_util.tree_structure(skeleton)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def save_params(path: str, params) -> None:

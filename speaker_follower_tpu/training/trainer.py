@@ -262,7 +262,12 @@ class FollowerTrainer:
     def load_training_state(self, path: str) -> int:
         state = ckpt.load_state(path)
         self.params = jax.tree.map(jnp.asarray, state["params"])
-        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        # npz checkpoints store optax NamedTuple states as plain tuples;
+        # rebuild the containers against a fresh skeleton
+        self.opt_state = jax.tree.map(
+            jnp.asarray,
+            ckpt.restructure_like(self.tx.init(self.params), state["opt_state"]),
+        )
         self.rng = jnp.asarray(state["rng"])
         self.data_log = defaultdict(list, state["data_log"])
         if "dataset_state" in state:

@@ -126,3 +126,105 @@ def test_reference_style_two_file_roundtrip(tmp_path):
     back = import_reference_style(prefix)
     np.testing.assert_array_equal(back["encoder"]["w"], params["encoder"]["w"])
     np.testing.assert_array_equal(back["decoder"]["b"], params["decoder"]["b"])
+
+
+class TestNpzFormat:
+    """The data-only checkpoint format (ADVICE r1: pickle executes
+    arbitrary code on load)."""
+
+    def _state(self):
+        import optax
+
+        from speaker_follower_tpu.training.optim import adam_with_torch_wd
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+        tx = adam_with_torch_wd(1e-3)
+        opt_state = tx.init(params)
+        import random
+
+        r = random.Random(7)
+        return tx, params, {
+            "params": params,
+            "opt_state": opt_state,
+            "rng": jax.random.PRNGKey(0),
+            "iteration": 17,
+            "data_log": {"loss": [1.0, 0.5], "split": ["a", "b"]},
+            "dataset_state": {"ix": 3, "order": ["x_0", "y_1"],
+                              "rng_state": r.getstate()},
+        }
+
+    def test_roundtrip_and_no_pickle(self, tmp_path):
+        from speaker_follower_tpu.training import checkpoint as ckpt
+
+        tx, params, state = self._state()
+        path = str(tmp_path / "ck")
+        ckpt.save_state(path, state)
+        # the file must be a zip (npz), not a pickle
+        with open(path, "rb") as f:
+            assert f.read(2) == b"PK"
+        loaded = ckpt.load_state(path)
+        assert loaded["iteration"] == 17
+        assert loaded["data_log"]["split"] == ["a", "b"]
+        np.testing.assert_array_equal(loaded["params"]["w"], np.asarray(state["params"]["w"]))
+        # python-random state survives (nested tuples of ints)
+        import random
+
+        r2 = random.Random()
+        r2.setstate(loaded["dataset_state"]["rng_state"])
+        r_ref = random.Random(7)
+        assert r2.random() == r_ref.random()
+        # namedtuple optax state comes back as plain tuples; restructure
+        rebuilt = ckpt.restructure_like(tx.init(params), loaded["opt_state"])
+        assert type(rebuilt) is type(state["opt_state"])
+        for a, b in zip(jax.tree_util.tree_leaves(rebuilt),
+                        jax.tree_util.tree_leaves(state["opt_state"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_legacy_pickle_still_loads(self, tmp_path):
+        import pickle
+
+        from speaker_follower_tpu.training import checkpoint as ckpt
+
+        path = str(tmp_path / "legacy")
+        with open(path, "wb") as f:
+            pickle.dump({"params": {"w": np.ones(3)}}, f)
+        loaded = ckpt.load_state(path)
+        np.testing.assert_array_equal(loaded["params"]["w"], np.ones(3))
+
+    def test_trainer_resume_roundtrip_npz(self, tmp_path):
+        """Full trainer save -> load through the npz path continues
+        training with identical state (incl. restructured opt_state)."""
+        from speaker_follower_tpu.data.dataset import R2RDataset
+        from speaker_follower_tpu.data.features import random_feature_bank
+        from speaker_follower_tpu.data.graph import load_graph_bank
+        from speaker_follower_tpu.data.text import Tokenizer, read_vocab
+        from speaker_follower_tpu.env import vecenv
+        from speaker_follower_tpu.models.follower import init_follower
+        from speaker_follower_tpu.training.trainer import FollowerTrainer, TrainConfig
+
+        vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+        ds = R2RDataset(["sub_val_seen"], tokenizer=Tokenizer(vocab=vocab),
+                        batch_size=4, seed=3)
+        keep = sorted(ds.scans)[:1]
+        ds.data = [d for d in ds.data if d["scan"] in keep]
+        bank = load_graph_bank(keep, "/root/reference/connectivity")
+        tables = vecenv.make_env_tables(bank, random_feature_bank(bank, dim=8, seed=0))
+        params = init_follower(
+            jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=8,
+            hidden_size=16, action_embedding_size=8 + 128, feature_size=8 + 128,
+        )
+        cfg = TrainConfig(learning_rate=1e-3, feedback="teacher",
+                          use_glove=False, no_save=True)
+        tr = FollowerTrainer(params, tables, ds, bank, cfg)
+        tr.train_interval(2)
+        path = str(tmp_path / "resume_ck")
+        tr.save_training_state(path, iteration=2)
+
+        import copy
+
+        tr2 = FollowerTrainer(params, tables, copy.deepcopy(ds), bank, cfg)
+        it = tr2.load_training_state(path)
+        assert it == 2
+        a = tr.train_interval(1)
+        b = tr2.train_interval(1)
+        np.testing.assert_allclose(a, b, rtol=1e-6)

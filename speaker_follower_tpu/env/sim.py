@@ -1,5 +1,6 @@
 """Single-simulator API facade: the MatterSim ``Simulator`` interface as a
-pure-python navigation-graph state machine (rendering-free).
+pure-python navigation-graph state machine, with optional rendering via
+the JAX cubemap resampler (env/render.py).
 
 This mirrors the C++ simulator's non-rendering semantics exactly
 (src/lib/MatterSim.cpp:66-508, include/MatterSim.hpp:28-96): episode state
@@ -91,7 +92,11 @@ class ViewPoint:
 
 @dataclass
 class SimState:
-    """Simulator state (include/MatterSim.hpp:54-96)."""
+    """Simulator state (include/MatterSim.hpp:54-96).
+
+    ``rgb`` follows the reference's cv::Mat convention: (height, width, 3)
+    uint8, BGR channel order, all-zeros when rendering is disabled
+    (MatterSim.cpp:224-226)."""
 
     scanId: str = ""
     step: int = 0
@@ -100,16 +105,19 @@ class SimState:
     viewIndex: int = 0
     location: ViewPoint | None = None
     navigableLocations: list = field(default_factory=list)
+    rgb: object = None
 
 
 class Simulator:
-    """Rendering-free MatterSim.Simulator equivalent.
+    """MatterSim.Simulator equivalent.
 
     Interface parity with the pybind11 module
     (src/lib_python/MatterSimPython.cpp:132-164): ``setCameraResolution``,
     ``setCameraVFOV``, ``setElevationLimits``, ``setDiscretizedViewingAngles``,
-    ``setRenderingEnabled`` (must stay False), ``setNavGraphPath``, ``init``,
-    ``newEpisode``, ``getState``, ``makeAction``, ``close``.
+    ``setRenderingEnabled`` (JAX cubemap resampling instead of OpenGL; needs
+    skybox images via ``setDatasetPath`` or an injected ``skybox_provider``),
+    ``setNavGraphPath``, ``setDatasetPath``, ``init``, ``newEpisode``,
+    ``getState``, ``makeAction``, ``close``.
     """
 
     def __init__(self):
@@ -122,8 +130,12 @@ class Simulator:
         self.initialized = False
         self.discretize_views = False
         self.rendering_enabled = False
+        self.dataset_path = None
+        self.skybox_provider = None  # (scan, vp) -> (6, S, S, 3) uint8
         self.state = SimState()
         self._graphs = {}
+        self._pose_rots = {}
+        self._skybox_cache = {}
 
     # ---- configuration (src/lib/MatterSim.cpp:88-115) ----
     def setCameraResolution(self, width: int, height: int):
@@ -134,11 +146,13 @@ class Simulator:
         self.vfov = vfov
 
     def setRenderingEnabled(self, value: bool):
-        if value:
-            raise NotImplementedError(
-                "rendering is not part of the TPU-native facade; use the "
-                "feature-precompute pipeline for pixels"
-            )
+        """Rendering uses the JAX cubemap resampler (env/render.py) in
+        place of the reference's OpenGL path.  Requires skybox images: set
+        ``setDatasetPath`` to a Matterport download (v1/scans layout), or
+        inject ``skybox_provider(scan_id, viewpoint_id) -> (6, S, S, 3)``
+        uint8 faces in GL order."""
+        if not self.initialized:
+            self.rendering_enabled = bool(value)
 
     def setDiscretizedViewingAngles(self, value: bool):
         if not self.initialized:
@@ -155,10 +169,20 @@ class Simulator:
         self.nav_graph_path = path
 
     def setDatasetPath(self, path: str):
-        pass  # only used for skybox rendering in the reference
+        self.dataset_path = path
 
     def init(self):
         self.initialized = True
+        if self.rendering_enabled and self.skybox_provider is None:
+            if self.dataset_path is None:
+                raise RuntimeError(
+                    "rendering enabled but no dataset path or skybox_provider set"
+                )
+            from . import render as _render
+
+            self.skybox_provider = lambda scan, vp: _render.load_skybox(
+                self.dataset_path, scan, vp
+            )
 
     def close(self):
         self.initialized = False
@@ -243,6 +267,36 @@ class Simulator:
         )
         s.navigableLocations = out
 
+    def _render(self):
+        """Fill state.rgb via the JAX cubemap resampler (renderScene
+        equivalent, MatterSim.cpp:441-468)."""
+        import numpy as np
+
+        s = self.state
+        if not self.rendering_enabled:
+            s.rgb = np.zeros((self.height, self.width, 3), np.uint8)
+            return
+        from . import render as _render
+
+        key = (s.scanId, s.location.viewpointId)
+        if key not in self._skybox_cache:
+            if len(self._skybox_cache) > 64:
+                self._skybox_cache.clear()
+            self._skybox_cache[key] = np.asarray(
+                self.skybox_provider(s.scanId, s.location.viewpointId)
+            )
+        if s.scanId not in self._pose_rots:
+            self._pose_rots[s.scanId] = _render.load_pose_rotations(
+                self.nav_graph_path, s.scanId
+            )
+        rot = self._pose_rots[s.scanId][s.location.viewpointId]
+        s.rgb = np.asarray(
+            _render.render_view(
+                self._skybox_cache[key], rot, s.heading, s.elevation,
+                width=self.width, height=self.height, vfov=self.vfov,
+            )
+        )
+
     # ---- episode control ----
     def newEpisode(self, scanId: str, viewpointId: str, heading: float, elevation: float):
         """src/lib/MatterSim.cpp:379-435 (no random-start support needed:
@@ -270,6 +324,7 @@ class Simulator:
             rel_distance=0.0,
         )
         self._populate_navigable()
+        self._render()
 
     def getState(self) -> SimState:
         return self.state
@@ -295,3 +350,4 @@ class Simulator:
                 elevation = -ELEVATION_INC
         self._set_heading_elevation(s.heading + heading, s.elevation + elevation)
         self._populate_navigable()
+        self._render()

@@ -131,3 +131,43 @@ def split_tsv(in_path: str, out_paths, num_splits: int):
     finally:
         for o in outs:
             o.close()
+
+
+def skybox_image_provider(
+    dataset_path: str,
+    connectivity_dir: str,
+    *,
+    width: int = WIDTH,
+    height: int = HEIGHT,
+    vfov_deg: float = VFOV,
+    skybox_loader=None,
+):
+    """image_provider rendering the 36 discretized views from Matterport
+    skybox images with the JAX cubemap resampler — replaces driving the
+    OpenGL simulator through 36 makeAction calls per viewpoint
+    (precompute_img_features.py:100-118): the whole sweep is ONE batched
+    render.  ``skybox_loader(scan, vp) -> (6, S, S, 3)`` overrides reading
+    JPGs from ``dataset_path`` (env/render.load_skybox)."""
+    import math
+
+    from ..env import render as rd
+
+    pose_cache = {}
+
+    def provider(scan_id, viewpoint_id):
+        faces = (
+            skybox_loader(scan_id, viewpoint_id)
+            if skybox_loader is not None
+            else rd.load_skybox(dataset_path, scan_id, viewpoint_id)
+        )
+        if scan_id not in pose_cache:
+            pose_cache[scan_id] = rd.load_pose_rotations(connectivity_dir, scan_id)
+        rot = pose_cache[scan_id][viewpoint_id]
+        return np.asarray(
+            rd.render_pano_sweep(
+                faces, rot, width=width, height=height,
+                vfov=math.radians(vfov_deg),
+            )
+        )
+
+    return provider

@@ -1,0 +1,283 @@
+"""Cubemap renderer: GL cube-addressing spec checks, an independent
+forward-projection oracle (the reference's PVM rasterization path,
+src/lib/MatterSim.cpp:441-468 + src/lib/vertex.sh/fragment.sh, rebuilt
+with explicit glm-style matrices), solid-face direction checks, and the
+Simulator rendering integration — the TPU-side replacement for the
+reference's RGB rendering regression (src/test/main.cpp:302-338; the
+WebGL golden images need the Matterport download, so the oracle here is
+an independent implementation instead)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from speaker_follower_tpu.env import render as rd
+
+S = 64
+W, H = 96, 72
+VFOV = math.radians(60)
+
+
+def gradient_faces(size=S, channels=3):
+    """Smooth per-face gradients so bilinear interpolation errors stay
+    local: color = (40*face, row-ramp, col-ramp)."""
+    faces = np.zeros((6, size, size, channels), np.uint8)
+    ramp = np.linspace(0, 255, size, dtype=np.uint8)
+    for f in range(6):
+        faces[f, :, :, 0] = 40 * f
+        faces[f, :, :, 1] = ramp[:, None]
+        faces[f, :, :, 2] = ramp[None, :]
+    return faces
+
+
+def solid_faces(size=16):
+    faces = np.zeros((6, size, size, 3), np.uint8)
+    for f in range(6):
+        faces[f] = (f + 1) * 40
+    return faces
+
+
+class TestCubeLookup:
+    """Hand-checked entries of the OpenGL cube-map addressing table."""
+
+    def lookup(self, d):
+        f, u, v = rd.cube_lookup(np.asarray([d], np.float32))
+        return int(f[0]), float(u[0]), float(v[0])
+
+    def test_face_centers(self):
+        assert self.lookup([1, 0, 0]) == (0, 0.5, 0.5)
+        assert self.lookup([-1, 0, 0]) == (1, 0.5, 0.5)
+        assert self.lookup([0, 1, 0]) == (2, 0.5, 0.5)
+        assert self.lookup([0, -1, 0]) == (3, 0.5, 0.5)
+        assert self.lookup([0, 0, 1]) == (4, 0.5, 0.5)
+        assert self.lookup([0, 0, -1]) == (5, 0.5, 0.5)
+
+    def test_posx_face_orientation(self):
+        # +x face: sc = -z, tc = -y (GL spec): looking at +x, up (+y)
+        # maps to small v (top of image), +z maps to small u
+        f, u, v = self.lookup([1.0, 0.5, 0.0])
+        assert f == 0 and v < 0.5 and u == 0.5
+        f, u, v = self.lookup([1.0, 0.0, 0.5])
+        assert f == 0 and u < 0.5 and v == 0.5
+
+    def test_posy_face_orientation(self):
+        # +y face: sc = +x, tc = +z
+        f, u, v = self.lookup([0.5, 1.0, 0.0])
+        assert f == 2 and u > 0.5 and v == 0.5
+        f, u, v = self.lookup([0.0, 1.0, 0.5])
+        assert f == 2 and v > 0.5 and u == 0.5
+
+
+def glm_perspective(vfov, aspect, zn, zf):
+    f = 1.0 / math.tan(vfov / 2.0)
+    m = np.zeros((4, 4))
+    m[0, 0] = f / aspect
+    m[1, 1] = f
+    m[2, 2] = (zf + zn) / (zn - zf)
+    m[2, 3] = 2 * zf * zn / (zn - zf)
+    m[3, 2] = -1.0
+    return m
+
+
+def forward_project(v_model, rot, heading, elevation, width, height, vfov):
+    """The reference's forward path: PVM, perspective divide, viewport,
+    vertical flip — an independent check of the renderer's camera
+    geometry (the renderer itself only ever inverts rays)."""
+    P = glm_perspective(vfov, width / height, 0.1, 100.0)
+    view = rd.rotx(-math.pi / 2 - elevation) @ rd.rotz(heading)
+    m4 = np.eye(4)
+    m4[:3, :3] = view @ rot * 10.0  # Model = rot * Scale(10)
+    clip = P @ m4 @ np.append(v_model, 1.0)
+    if clip[3] <= 0:
+        return None
+    ndc = clip[:3] / clip[3]
+    if np.any(np.abs(ndc[:2]) > 0.99):
+        return None
+    px = (ndc[0] + 1) / 2 * width
+    py = (1 - (ndc[1] + 1) / 2) * height  # row 0 = top after the flip
+    return px, py
+
+
+class TestForwardBackwardConsistency:
+    @pytest.mark.parametrize("heading,elevation", [
+        (0.0, 0.0), (1.1, 0.3), (3.9, -0.5), (5.5, 0.9),
+    ])
+    def test_projected_points_match_rendered_pixels(self, heading, elevation):
+        rng = np.random.RandomState(0)
+        rot = rd.rotz(0.7) @ rd.rotx(np.pi)  # a non-trivial pose rotation
+        faces = gradient_faces()
+        img = np.asarray(
+            rd.render_views(faces, rot, [heading], [elevation],
+                            width=W, height=H, vfov=VFOV)
+        )[0]
+        checked = 0
+        for _ in range(1500):
+            d = rng.randn(3)
+            d /= np.abs(d).max()  # point on the cube surface
+            # near a cube edge the pixel-center ray and the oracle point
+            # can land on different faces (both correct); skip those
+            mags = np.sort(np.abs(d))
+            if mags[1] > 0.95:
+                continue
+            p = forward_project(d, rot, heading, elevation, W, H, VFOV)
+            if p is None:
+                continue
+            px, py = p
+            i, j = int(py), int(px)
+            if not (0 <= i < H and 0 <= j < W):
+                continue
+            # expected color: direct cubemap lookup at the fragment
+            # shader's flipped coordinate
+            sd = np.array([-d[0], d[1], d[2]], np.float32)
+            f, u, v = rd.cube_lookup(sd[None])
+            f, u, v = int(f[0]), float(u[0]), float(v[0])
+            col = int(np.clip(u * S, 0, S - 1))
+            row = int(np.clip(v * S, 0, S - 1))
+            want = faces[f, row, col].astype(np.float32)
+            got = img[i, j].astype(np.float32)
+            # 1px of projection rounding + bilinear smoothing tolerance:
+            # gradients change by 255/S per texel; a view pixel spans a
+            # few texels at this resolution
+            assert np.abs(got - want).max() <= 30, (
+                (heading, elevation), (i, j), got, want, f,
+            )
+            checked += 1
+        assert checked > 80  # the sample actually exercised the image
+
+
+class TestDirections:
+    def test_solid_faces_by_direction(self):
+        """With rot=I: heading 0 looks at +y, heading pi/2 at -x (positive
+        heading turns right), heading pi at -y, 3pi/2 at +x; straight up
+        (+z) and down (-z) via elevation."""
+        faces = solid_faces()
+        center = lambda img: img[H // 2, W // 2]
+        I3 = np.eye(3)
+        views = np.asarray(rd.render_views(
+            faces, I3,
+            [0.0, math.pi / 2, math.pi, 3 * math.pi / 2, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0, math.pi / 2 - 1e-6, -math.pi / 2 + 1e-6],
+            width=W, height=H, vfov=VFOV,
+        ))
+        # face ids: +x=0 -> color 40, -x=1 -> 80, +y=2 -> 120, -y=3 -> 160,
+        # +z=4 -> 200, -z=5 -> 240
+        assert center(views[0])[0] == 120  # +y
+        assert center(views[1])[0] == 80  # -x (flip makes right turn hit -x)
+        assert center(views[2])[0] == 160  # -y
+        assert center(views[3])[0] == 40  # +x
+        assert center(views[4])[0] == 200  # up = +z
+        assert center(views[5])[0] == 240  # down = -z
+
+    def test_pano_sweep_shapes(self):
+        faces = solid_faces()
+        sweep = np.asarray(rd.render_pano_sweep(
+            faces, np.eye(3), width=W, height=H, vfov=VFOV))
+        assert sweep.shape == (36, H, W, 3)
+        # ring structure: the 12 middle-ring views cycle through the 4
+        # horizontal faces
+        mids = {int(sweep[12 + k, H // 2, W // 2, 0]) for k in range(12)}
+        assert mids == {40, 80, 120, 160}
+
+
+class TestSimulatorRendering:
+    def test_sim_renders_and_caches(self):
+        from speaker_follower_tpu.env.sim import Simulator
+
+        calls = []
+
+        def provider(scan, vp):
+            calls.append((scan, vp))
+            return gradient_faces(32)
+
+        sim = Simulator()
+        sim.setNavGraphPath("/root/reference/connectivity")
+        sim.setCameraResolution(64, 48)
+        sim.setCameraVFOV(VFOV)
+        sim.setDiscretizedViewingAngles(True)
+        sim.setRenderingEnabled(True)
+        sim.skybox_provider = provider
+        sim.init()
+        g_nodes = None
+        import json
+
+        with open("/root/reference/connectivity/17DRP5sb8fy_connectivity.json") as f:
+            data = json.load(f)
+        start = next(d["image_id"] for d in data if d["included"])
+        sim.newEpisode("17DRP5sb8fy", start, 0.0, 0.0)
+        s = sim.getState()
+        assert s.rgb.shape == (48, 64, 3) and s.rgb.dtype == np.uint8
+        assert s.rgb.std() > 0  # actually rendered something
+        first = s.rgb.copy()
+        # rotate in place: same viewpoint, no new skybox load
+        sim.makeAction(0, 1.0, 0.0)
+        assert len(calls) == 1
+        assert not np.array_equal(sim.getState().rgb, first)
+
+    def test_sim_rendering_disabled_black(self):
+        from speaker_follower_tpu.env.sim import Simulator
+
+        sim = Simulator()
+        sim.setNavGraphPath("/root/reference/connectivity")
+        sim.setCameraResolution(32, 24)
+        sim.setDiscretizedViewingAngles(True)
+        sim.init()
+        import json
+
+        with open("/root/reference/connectivity/17DRP5sb8fy_connectivity.json") as f:
+            data = json.load(f)
+        start = next(d["image_id"] for d in data if d["included"])
+        sim.newEpisode("17DRP5sb8fy", start, 0.0, 0.0)
+        assert sim.getState().rgb.shape == (24, 32, 3)
+        assert not sim.getState().rgb.any()
+
+    def test_rendering_requires_source(self):
+        from speaker_follower_tpu.env.sim import Simulator
+
+        sim = Simulator()
+        sim.setRenderingEnabled(True)
+        with pytest.raises(RuntimeError, match="skybox_provider"):
+            sim.init()
+
+
+def test_skybox_to_tsv_pipeline(tmp_path):
+    """Full skybox -> 36 rendered views -> ResNet -> TSV store, no OpenGL
+    and no simulator stepping (the reference's render loop,
+    precompute_img_features.py:100-118, as one batched gather program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speaker_follower_tpu.data.features import load_tsv_feature_bank
+    from speaker_follower_tpu.data.graph import load_graph_bank
+    import speaker_follower_tpu.pipeline.precompute as pc
+    from speaker_follower_tpu.pipeline.resnet import resnet_init
+
+    bank = load_graph_bank(["17DRP5sb8fy"], "/root/reference/connectivity")
+    g = bank.graphs["17DRP5sb8fy"]
+    vids = [("17DRP5sb8fy", g.node_ids[i]) for i in np.nonzero(g.included)[0][:2]]
+
+    provider = pc.skybox_image_provider(
+        None, "/root/reference/connectivity",
+        width=64, height=48,
+        skybox_loader=lambda s, v: gradient_faces(32),
+    )
+    views = provider(*vids[0])
+    assert views.shape == (36, 48, 64, 3) and views.dtype == np.uint8
+
+    params = resnet_init(jax.random.PRNGKey(0), stages=(1, 1, 1, 1), width=8)
+    orig = pc.resnet_apply
+    pc.resnet_apply = lambda p, x, **kw: jnp.pad(
+        orig(p, x, **kw), ((0, 0), (0, 2048 - 256)))
+    try:
+        out = str(tmp_path / "sky.tsv")
+        pc.precompute_mean_pooled_tsv(
+            params, provider, vids, out, stages=(1, 1, 1, 1), batch_size=36)
+    finally:
+        pc.resnet_apply = orig
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        loaded = load_tsv_feature_bank(out, bank)
+    gix = bank.global_index(*vids[0])
+    assert np.abs(loaded[gix, :, :256]).sum() > 0

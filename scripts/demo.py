@@ -4,6 +4,9 @@ src/driver/mattersim_main.cpp, minus rendering) plus a random-agent mode
 
   python scripts/demo.py --scan 17DRP5sb8fy            # interactive
   python scripts/demo.py --scan 17DRP5sb8fy --random 20  # random agent
+  python scripts/demo.py --scan X --render --dataset_path /matterport \
+      --frames_dir sim_imgs   # also render each view to PNG (JAX cubemap
+                              # resampler; like the reference driver window)
 """
 
 from __future__ import annotations
@@ -48,6 +51,13 @@ def main():
     parser.add_argument("--random", type=int, default=0, metavar="STEPS",
                         help="run a random agent for STEPS steps and exit")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--render", action="store_true",
+                        help="render RGB frames (needs --dataset_path with "
+                        "Matterport skyboxes)")
+    parser.add_argument("--dataset_path", default=None)
+    parser.add_argument("--frames_dir", default="sim_imgs",
+                        help="where rendered frames are written (the "
+                        "reference test suite's sim_imgs/ convention)")
     args = parser.parse_args()
 
     vp = args.viewpoint
@@ -63,8 +73,30 @@ def main():
     sim.setDiscretizedViewingAngles(True)
     sim.setCameraResolution(640, 480)
     sim.setCameraVFOV(math.radians(60))
+    if args.render:
+        sim.setRenderingEnabled(True)
+        sim.setDatasetPath(args.dataset_path)
     sim.init()
     sim.newEpisode(args.scan, vp, 0.0, 0.0)
+
+    frame_count = [0]
+
+    def save_frame():
+        if not args.render:
+            return
+        import cv2
+
+        os.makedirs(args.frames_dir, exist_ok=True)
+        s_ = sim.getState()
+        path = os.path.join(
+            args.frames_dir,
+            f"{frame_count[0]:04d}_{s_.location.viewpointId[:8]}_v{s_.viewIndex}.png",
+        )
+        cv2.imwrite(path, s_.rgb)
+        frame_count[0] += 1
+        print(f"  frame -> {path}")
+
+    save_frame()
 
     if args.random:
         rng = random.Random(args.seed)
@@ -79,11 +111,13 @@ def main():
                 f"t={t} -> {s.location.viewpointId[:12]} "
                 f"viewIndex={s.viewIndex}"
             )
+            save_frame()
         return
 
     print("commands: <index> = move there, l/r = turn, u/d = look, q = quit")
     while True:
         describe(sim.getState())
+        save_frame()
         try:
             cmd = input("> ").strip()
         except EOFError:

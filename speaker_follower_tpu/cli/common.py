@@ -79,10 +79,30 @@ def resolve_splits(args, train_splits, val_splits):
 
 
 def load_glove(args, vocab):
+    """GloVe rows for ``vocab``, frozen in the encoder (train.py:32-37).
+
+    train_glove.npy lines up with train_vocab.txt row for row.  For any
+    other vocab (the sub-split vocab), rows are word-mapped from the full
+    vocab — every sub-vocab word appears in the full vocab, so the mapping
+    is exact; if the overlap is ever below half the vocab, fall back to
+    trained embeddings.
+    """
     glove = np.load(paths.TRAIN_GLOVE)
-    if glove.shape[0] != len(vocab):
-        return None  # sub vocab has no matching glove; train embeddings
-    return glove
+    if glove.shape[0] == len(vocab):
+        return glove
+    from ..data.text import read_vocab
+
+    full_index = {w: i for i, w in enumerate(read_vocab(paths.TRAIN_VOCAB))}
+    out = np.zeros((len(vocab), glove.shape[1]), glove.dtype)
+    matched = 0
+    for i, word in enumerate(vocab):
+        j = full_index.get(word)
+        if j is not None:
+            out[i] = glove[j]
+            matched += 1
+    if matched < len(vocab) // 2:
+        return None
+    return out
 
 
 def build_world(args, splits, tokenizer):

@@ -65,7 +65,7 @@ def train_setup(args):
             "pretrain splits must use train scans"
         )
 
-    glove = common.load_glove(args, vocab) if not args.use_train_subset else None
+    glove = common.load_glove(args, vocab)
     params = init_follower(
         jax.random.PRNGKey(args.seed),
         vocab_size=len(vocab),

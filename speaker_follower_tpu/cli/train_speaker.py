@@ -37,7 +37,7 @@ def train_setup(args):
     split_map = {s: s for s in train_splits + val_splits}
     datasets, bank, tables, feature_dim = common.build_world(args, split_map, tok)
 
-    glove = common.load_glove(args, vocab) if not args.use_train_subset else None
+    glove = common.load_glove(args, vocab)
     params = init_speaker(
         jax.random.PRNGKey(args.seed),
         vocab_size=len(vocab),

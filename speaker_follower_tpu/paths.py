@@ -27,6 +27,16 @@ MEAN_POOLED_FEATURE_STORES = {
     "places365": os.path.join(DATA_ROOT, "img_features/ResNet-152-places365.tsv"),
 }
 
+# Bottom-up detection stores + Visual Genome vocabs (reference
+# paths.py:11-16).
+BOTTOM_UP_FEATURE_STORE = os.path.join(DATA_ROOT, "img_features/bottom_up_10_100")
+BOTTOM_UP_FEATURE_CACHE = os.path.join(DATA_ROOT, "img_features/bottom_up_10_100.pkl")
+BOTTOM_UP_FEATURE_CACHE_DIR = os.path.join(
+    DATA_ROOT, "img_features/bottom_up_10_100_cache"
+)
+VG_ATTRIBUTE_VOCAB = os.path.join(DATA_ROOT, "data/visual_genome/attributes_vocab.txt")
+VG_OBJECT_VOCAB = os.path.join(DATA_ROOT, "data/visual_genome/objects_vocab.txt")
+
 # Writable output locations live in this repo.
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULT_DIR = os.path.join(REPO_ROOT, "results")

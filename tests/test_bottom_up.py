@@ -476,3 +476,62 @@ class TestImageAttentionParity:
         )
         # masked rows get exactly zero attention
         assert np.asarray(j_attn)[mask].max() == 0.0
+
+
+# ------------------------------------------------------------ CLI scripts
+
+
+def test_cache_bottom_up_script(tmp_path, vg_vocab_files, monkeypatch):
+    """scripts/cache_bottom_up.py sweeps a scan's included viewpoints and
+    writes a loadable cache, reporting store-less viewpoints as missing
+    (reference cache_bottom_up.py:10-24)."""
+    import json
+    import runpy
+    import sys
+
+    obj_vocab, attr_vocab = vg_vocab_files
+    scan = "17DRP5sb8fy"
+    with open(f"/root/reference/connectivity/{scan}_connectivity.json") as f:
+        conn = json.load(f)
+    included = [it["image_id"] for it in conn if it["included"]]
+
+    rng = np.random.RandomState(1)
+    store = tmp_path / "store"
+    (store / scan).mkdir(parents=True)
+    for vp in included[:2]:
+        with open(store / scan / f"{vp}.p", "wb") as f:
+            pickle.dump([make_raw_view(rng) for _ in range(36)], f)
+
+    out = tmp_path / "cache.pkl"
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "cache_bottom_up.py",
+    )
+    monkeypatch.setattr(sys, "argv", [
+        script, "--detections", "4", "--store_dir", str(store),
+        "--out", str(out), "--object_vocab", obj_vocab,
+        "--attribute_vocab", attr_vocab, "--scans", scan,
+    ])
+    runpy.run_path(script, run_name="__main__")
+
+    with open(out, "rb") as f:
+        cache = pickle.load(f)
+    assert set(cache.keys()) == {(scan, vp) for vp in included[:2]}
+    feat = bu.BottomUpFeaturizer(
+        4, object_vocab_path=obj_vocab, attribute_vocab_path=attr_vocab,
+        precomputed_cache_path=str(out),
+    )
+    views = feat.viewpoint_features(scan, included[0])
+    assert len(views) == 36 and views[0].image_features.shape == (4, 2048)
+
+
+def test_attention_sandbox_script():
+    """scripts/attention_sandbox.py runs all three mechanisms."""
+    import runpy
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "attention_sandbox.py",
+    )
+    mod = runpy.run_path(script)
+    mod["main"]()

@@ -155,3 +155,23 @@ def test_full_state_checkpoint_resume(world, tmp_path):
     b = jax.tree_util.tree_leaves(t2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_load_glove_word_maps_sub_vocab():
+    """Sub-vocab GloVe rows are word-mapped from the full-vocab matrix
+    (every sub-vocab word exists in train_vocab, so rows match exactly)."""
+    from speaker_follower_tpu import paths
+    from speaker_follower_tpu.cli.common import load_glove
+    from speaker_follower_tpu.data.text import read_vocab
+
+    full_vocab = read_vocab(paths.TRAIN_VOCAB)
+    sub_vocab = read_vocab(paths.SUBTRAIN_VOCAB)
+    full = load_glove(None, full_vocab)
+    sub = load_glove(None, sub_vocab)
+    assert full.shape == (len(full_vocab), 300)
+    assert sub.shape == (len(sub_vocab), 300)
+    full_index = {w: i for i, w in enumerate(full_vocab)}
+    for i in range(0, len(sub_vocab), 97):
+        np.testing.assert_array_equal(sub[i], full[full_index[sub_vocab[i]]])
+    # a vocab of unknown words falls back to trained embeddings
+    assert load_glove(None, ["zzz%d" % i for i in range(100)]) is None

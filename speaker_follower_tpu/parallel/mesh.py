@@ -1,12 +1,21 @@
-"""Device-mesh utilities: data-parallel episode sharding.
+"""Device-mesh utilities: data-parallel and tensor-parallel sharding.
 
 The reference is single-GPU (SURVEY.md §2.4: no distributed code at all);
-here scale-out is first-class: episodes are embarrassingly data-parallel,
-so the canonical layout is a 1-D ``("data",)`` mesh with
+here scale-out is first-class.  Episodes are embarrassingly data-parallel,
+so the canonical production layout is a 1-D ``("data",)`` mesh with
   * params, optimizer state, env tables: replicated,
   * per-episode batch arrays: sharded on axis 0 over "data".
 XLA inserts the gradient psum across ICI automatically from the sharding
 annotations on the jitted train step.
+
+A 2-D ``("data", "model")`` mesh adds Megatron-style tensor parallelism
+for memory scaling: weight matrices are column-sharded over "model" on
+their output (gate) axis — the torch-layout LSTM weights are (4H, in), so
+axis 0 — and XLA/GSPMD propagates the shardings through the rollout,
+inserting the all-gathers of h between recurrent steps and the gradient
+reduce-scatters itself (the scaling-book recipe: annotate, let XLA place
+collectives on ICI).  At h=512 this workload is data-parallel-bound, so
+TP is the framework capability for bigger models, not the default.
 
 For multi-host, ``jax.distributed.initialize()`` before building the mesh;
 the same annotations then span hosts (DCN between slices).
@@ -20,12 +29,52 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh2(devices=None, model: int = 1) -> Mesh:
+    """2-D ("data", "model") mesh: adjacent devices share the model axis
+    (highest ICI bandwidth for the per-step TP collectives)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if devices.size % model:
+        raise ValueError(f"{devices.size} devices not divisible by model={model}")
+    return Mesh(devices.reshape(-1, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def param_shardings(mesh: Mesh, params, min_dim: int = 128):
+    """PartitionSpec tree for Megatron-style column parallelism: each leaf
+    is sharded over "model" on its first axis divisible by the model-axis
+    size (the output/gate axis in this repo's torch-layout (out, in)
+    matrices) and at least ``min_dim`` wide; everything else (biases under
+    min_dim, scalars) replicates.  On a mesh without a model axis the
+    whole tree replicates."""
+    model_n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+
+    def spec(leaf):
+        if model_n > 1 and hasattr(leaf, "shape"):
+            for ax, d in enumerate(leaf.shape):
+                if d >= min_dim and d % model_n == 0:
+                    return NamedSharding(mesh, P(*([None] * ax + [MODEL_AXIS])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)
+
+
+def shard_params(mesh: Mesh, params, min_dim: int = 128):
+    """device_put each param leaf per :func:`param_shardings`."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s),
+        params,
+        param_shardings(mesh, params, min_dim),
+    )
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -189,3 +189,57 @@ def test_data_parallel_training_equivalence_50_iters(world):
     assert np.mean(losses1[-10:]) < np.mean(losses1[:10])  # it actually learns
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_tensor_parallel_step_matches_single_device(world):
+    """2-D (data=4, model=2) mesh: Megatron-style column-sharded params
+    (gate axis over "model") + episode sharding over "data" must reproduce
+    the single-device train step — GSPMD inserts the per-step h
+    all-gathers and gradient reductions from the annotations alone."""
+    vocab, ds, bank, tables, params = world
+    mesh = pm.make_mesh2(model=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 4, "model": 2}
+
+    enc = encode_batch(ds.next_minibatch(), bank)
+    batch_np = {
+        k: enc[k]
+        for k in ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
+    }
+
+    tx = adam_with_torch_wd(1e-3)
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(3)
+
+    def step(params, opt_state, tables, batch, rng):
+        loss, grads = jax.value_and_grad(_loss_fn)(params, tables, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+    p1, o1, l1 = jax.jit(step)(
+        params, opt_state, tables,
+        {k: jnp.asarray(v) for k, v in batch_np.items()}, rng,
+    )
+
+    # min_dim=32 so the 4H=128 gate axes shard at this test's hidden=32
+    params_s = pm.shard_params(mesh, params, min_dim=32)
+    specs = jax.tree.map(
+        lambda s: s.spec, pm.param_shardings(mesh, params, min_dim=32)
+    )
+    sharded_leaves = [
+        s for s in jax.tree_util.tree_leaves(specs, is_leaf=lambda x: hasattr(x, "index"))
+        if len(s) > 0
+    ]
+    assert sharded_leaves, "no param was actually tensor-sharded"
+    opt_s = jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s),
+        opt_state, jax.tree.map(lambda _: pm.replicated(mesh), opt_state),
+    )
+    tables_s = vecenv.EnvTables(*[
+        jax.device_put(x, pm.replicated(mesh)) for x in tables
+    ])
+    batch_s = pm.shard_batch(mesh, batch_np)
+    p2, o2, l2 = jax.jit(step)(params_s, opt_s, tables_s, batch_s, rng)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -184,11 +184,16 @@ def main():
     opt_state = tx.init(params)
     k_steps = int(os.environ.get("BENCH_TRAIN_SCAN", "10"))
 
+    compute_dtype = {"f32": None, "bf16": "bfloat16"}[
+        os.environ.get("BENCH_COMPUTE", "f32")
+    ]
+
     def loss_fn(p, t, b, k):
         return rollout(
             p, t, b, k,
             feedback="sample", episode_len=EPISODE_LEN,
             deterministic=False, dropout_ratio=0.5,
+            compute_dtype=compute_dtype,
         ).loss
 
     # tables/batch are ARGUMENTS, never closures: closed-over device arrays
@@ -238,7 +243,8 @@ def main():
         mfu = flops_per_scan * n_scans / dt / PEAK_FLOPS
         results[train_batch_size] = train_eps
         sys.stderr.write(
-            f"[bench] {steps} train steps @ batch {train_batch_size} in "
+            f"[bench] {steps} {os.environ.get('BENCH_COMPUTE', 'f32')} "
+            f"train steps @ batch {train_batch_size} in "
             f"{dt:.2f}s -> {train_eps:.0f} eps/s, "
             f"~{flops_per_scan / k_steps / 1e9:.1f} GFLOP/step, "
             f"{flops_per_scan * n_scans / dt / 1e9:.0f} GFLOP/s device rate, "
@@ -253,9 +259,9 @@ def main():
                 "metric": "train_step_episodes_per_sec",
                 "value": round(train_eps, 1),
                 "unit": "episodes/s/chip (fwd+bwd+Adam, sample feedback, "
-                "batch %d, 10-step, full-dim; reference trained at "
-                "batch 100 = %.0f eps/s on this chip)"
-                % (BATCH, results[100]),
+                "batch %d, 10-step, full-dim, %s compute; reference "
+                "trained at batch 100 = %.0f eps/s on this chip)"
+                % (BATCH, os.environ.get("BENCH_COMPUTE", "f32"), results[100]),
                 "vs_baseline": round(train_eps / REFERENCE_EPISODES_PER_SEC, 1),
             }
         )

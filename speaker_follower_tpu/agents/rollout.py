@@ -71,6 +71,7 @@ def _select_action(feedback, logit, log_probs, target, valid, rng):
         "forced",
         "use_pallas",
         "pallas_interpret",
+        "compute_dtype",
     ),
 )
 def rollout(
@@ -87,6 +88,7 @@ def rollout(
     forced: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    compute_dtype: str | None = None,
 ) -> RolloutOutput:
     """Run a full batched episode.
 
@@ -96,7 +98,19 @@ def rollout(
     ``batch["forced_len"]`` (B,) replace the feedback policy: the rollout
     replays the given action sequence and scores it (the reference's
     _score_obs_actions_and_instructions, follower.py:342-428).
+
+    ``compute_dtype="bfloat16"`` is the mixed-precision policy: f32 params
+    are cast once so every matmul (encoder/decoder LSTMs, attentions,
+    scoring) runs on the MXU in bf16, while the numerically-sensitive tail
+    — masked log-softmax, CE, scores — is upcast back to f32.  Gradients
+    flow through the casts, so value_and_grad over f32 master params
+    yields f32 grads (standard mixed-precision training).
     """
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        params = jax.tree.map(
+            lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params
+        )
     rng, enc_key = jax.random.split(rng)
     ctx, h_t, c_t = fmodels.encoder_apply(
         params["encoder"],
@@ -168,7 +182,11 @@ def rollout(
             rng=drop_key,
             precomputed_visual=precomputed_visual,
         )
-        logit, log_probs = _masked_log_softmax(logit, obs.action_valid)
+        # softmax/CE always in f32 (bf16 has ~3 decimal digits; the loss
+        # and sampling distribution must not quantize)
+        logit, log_probs = _masked_log_softmax(
+            logit.astype(jnp.float32), obs.action_valid
+        )
 
         ended = state.done
         if forced:
@@ -199,7 +217,7 @@ def rollout(
         new_state = vecenv.step(tables, state, a_t)
         u_next = jnp.take_along_axis(
             obs.action_embedding, a_t[:, None, None], axis=1
-        )[:, 0]
+        )[:, 0].astype(u_prev.dtype)  # tables may be f32 under bf16 compute
         u_next = jnp.where(live[:, None], u_next, u_prev)
 
         out = (

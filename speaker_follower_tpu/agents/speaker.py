@@ -94,6 +94,7 @@ class SpeakerOutput(NamedTuple):
         "dropout_ratio",
         "use_glove",
         "use_input_att_feed",
+        "compute_dtype",
     ),
 )
 def score_instructions(
@@ -109,9 +110,19 @@ def score_instructions(
     dropout_ratio: float = 0.5,
     use_glove: bool = True,
     use_input_att_feed: bool = False,
+    compute_dtype: str | None = None,
 ) -> SpeakerOutput:
     """Teacher/argmax/sample decode with NLL loss
-    (speaker.py:123-202 _score_obs_actions_and_instructions)."""
+    (speaker.py:123-202 _score_obs_actions_and_instructions).
+
+    ``compute_dtype="bfloat16"``: mixed precision — matmuls in bf16,
+    softmax/NLL in f32 (see agents/rollout.py).
+    """
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        params = jax.tree.map(
+            lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params
+        )
     b = gold.path_len.shape[0]
     rng, enc_key = jax.random.split(rng)
     ctx, h_t, c_t = smodels.speaker_encoder_apply(
@@ -144,6 +155,7 @@ def score_instructions(
             rng=drop_key,
         )
         target = instr_seq[:, t]
+        logit = logit.astype(jnp.float32)  # softmax/NLL stay f32
         log_probs = jax.nn.log_softmax(logit, axis=-1)
 
         if feedback == "teacher":

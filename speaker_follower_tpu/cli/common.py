@@ -55,6 +55,11 @@ def add_common_args(parser: argparse.ArgumentParser):
     )
     parser.add_argument("--bfloat16_features", action="store_true")
     parser.add_argument(
+        "--bfloat16_compute", action="store_true",
+        help="mixed precision: run model matmuls in bf16 on the MXU "
+        "(softmax/loss/Adam stay f32)",
+    )
+    parser.add_argument(
         "--data_parallel", action="store_true",
         help="shard the episode batch over ALL visible devices "
         "(jax.sharding Mesh; params/tables replicated, gradients psum'd "
@@ -157,6 +162,7 @@ def make_train_config(args, model_prefix, feedback="sample", use_glove=True):
     return TrainConfig(
         feedback=feedback,
         use_glove=use_glove,
+        compute_dtype="bfloat16" if args.bfloat16_compute else None,
         no_save=args.no_save,
         snapshot_dir=args.snapshot_dir,
         result_dir=args.result_dir,

@@ -156,7 +156,9 @@ def decoder_step(
         feature = feature.astype(h_0.dtype)
     else:
         vis_attn = attn.visual_soft_dot_fast if fast else attn.visual_soft_dot
-        feature, alpha_v = vis_attn(p["visual_attention"], h_0, visual_context)
+        feature, alpha_v = vis_attn(
+            p["visual_attention"], h_0, visual_context.astype(h_0.dtype)
+        )
     concat_input = jnp.concatenate([u_t_prev, feature], axis=-1)
     if rng is not None:
         rng, k = jax.random.split(rng)
@@ -170,7 +172,7 @@ def decoder_step(
         p["text_attention"], h_1_drop, ctx, ctx_mask
     )
     scoring = attn.eltwise_prod_scoring_fast if fast else attn.eltwise_prod_scoring
-    logit = scoring(p["decoder2action"], h_tilde, all_u_t)
+    logit = scoring(p["decoder2action"], h_tilde, all_u_t.astype(h_0.dtype))
     return h_1, c_1, alpha, logit, alpha_v
 
 

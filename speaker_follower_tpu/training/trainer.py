@@ -49,6 +49,10 @@ class TrainConfig:
     plot_dir: str = "plots"
     model_prefix: str = "follower"
     no_save: bool = False
+    # Mixed precision: "bfloat16" runs the rollout's matmuls in bf16 on
+    # the MXU while softmax/CE and the Adam update stay f32 (master params
+    # are f32; the cast happens inside the loss).  None = pure f32.
+    compute_dtype: str | None = None
 
 
 def _device_batch(enc):
@@ -124,6 +128,7 @@ class FollowerTrainer:
                 deterministic=False,
                 dropout_ratio=cfg.dropout_ratio,
                 use_glove=cfg.use_glove,
+                compute_dtype=cfg.compute_dtype,
             )
             return out.loss
 
@@ -358,6 +363,7 @@ class SpeakerTrainer:
                 deterministic=False,
                 dropout_ratio=cfg.dropout_ratio,
                 use_glove=cfg.use_glove,
+                compute_dtype=cfg.compute_dtype,
             )
             return out.loss
 

@@ -140,3 +140,32 @@ def test_trajectory_formatting(world):
         assert tr["trajectory"][0][0] == item["path"][0]
         assert len(tr["trajectory"]) == len(tr["actions"]) + 1
         assert abs(tr["score"] - sum(tr["scores"])) < 1e-4
+
+
+def test_bfloat16_compute_matches_f32_closely(world):
+    """Mixed precision (compute_dtype='bfloat16'): matmuls run in bf16 but
+    loss/softmax stay f32 — the teacher-forced loss must track the f32
+    loss within bf16 tolerance, grads must be finite f32, and the same
+    path must be followed (teacher forcing is dtype-independent)."""
+    ds, bank, tables, params = world
+    enc = encode_batch(ds.next_minibatch(), bank)
+    batch = _device_batch(enc)
+    rng = jax.random.PRNGKey(5)
+
+    out32 = ra.rollout(params, tables, batch, rng,
+                       feedback="teacher", episode_len=EP_LEN)
+    out16 = ra.rollout(params, tables, batch, rng,
+                       feedback="teacher", episode_len=EP_LEN,
+                       compute_dtype="bfloat16")
+    assert out16.loss.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out16.nodes), np.asarray(out32.nodes))
+    np.testing.assert_allclose(float(out16.loss), float(out32.loss), rtol=0.05)
+
+    def loss16(p):
+        return ra.rollout(p, tables, batch, rng, feedback="teacher",
+                          episode_len=EP_LEN, compute_dtype="bfloat16").loss
+
+    grads = jax.grad(loss16)(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(np.asarray(leaf)).all()

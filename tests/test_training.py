@@ -175,3 +175,49 @@ def test_load_glove_word_maps_sub_vocab():
         np.testing.assert_array_equal(sub[i], full[full_index[sub_vocab[i]]])
     # a vocab of unknown words falls back to trained embeddings
     assert load_glove(None, ["zzz%d" % i for i in range(100)]) is None
+
+
+def test_bfloat16_compute_training_step(world):
+    """Both trainers run a bf16-compute train step: finite f32 loss, f32
+    params after the update, and the speaker's mixed-precision scoring
+    tracks its f32 loss within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    from speaker_follower_tpu.agents import speaker as sa
+    from speaker_follower_tpu.data.dataset import encode_batch
+
+    vocab, tok, ds, bank, tables = world
+    fparams = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    cfg = TrainConfig(feedback="teacher", use_glove=False, no_save=True,
+                      compute_dtype="bfloat16")
+    tr = FollowerTrainer(fparams, tables, ds, bank, cfg)
+    losses = tr.train_interval(2)
+    assert all(np.isfinite(losses))
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(tr.params)
+        if leaf.dtype in (jnp.float32, jnp.bfloat16)
+    )
+
+    sparams = init_speaker(
+        jax.random.PRNGKey(1), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    enc = encode_batch(ds.next_minibatch(), bank, max_instruction_length=40,
+                       reverse_instructions=False)
+    db = {k: jnp.asarray(enc[k])
+          for k in ["scan", "start_node", "goal_node", "heading"]}
+    gold = sa.gold_rollout(tables, db, episode_len=10)
+    seq = jnp.asarray(enc["seq"])
+    o32 = sa.score_instructions(sparams, gold, seq, jax.random.PRNGKey(2),
+                                instruction_len=40, use_glove=False)
+    o16 = sa.score_instructions(sparams, gold, seq, jax.random.PRNGKey(2),
+                                instruction_len=40, use_glove=False,
+                                compute_dtype="bfloat16")
+    assert o16.loss.dtype == jnp.float32
+    np.testing.assert_allclose(float(o16.loss), float(o32.loss), rtol=0.05)

@@ -65,6 +65,12 @@ def add_common_args(parser: argparse.ArgumentParser):
         "(jax.sharding Mesh; params/tables replicated, gradients psum'd "
         "by XLA). Batch size must be a multiple of the device count.",
     )
+    parser.add_argument(
+        "--model_parallel", type=int, default=1, metavar="N",
+        help="tensor-parallel degree: build a 2-D (data, model=N) mesh "
+        "over all visible devices and column-shard the weight matrices "
+        "(implies data parallelism over the remaining factor)",
+    )
     parser.add_argument("--snapshot_dir", default=paths.SNAPSHOT_DIR)
     parser.add_argument("--result_dir", default=paths.RESULT_DIR)
     parser.add_argument("--plot_dir", default=paths.PLOT_DIR)
@@ -169,6 +175,20 @@ def make_train_config(args, model_prefix, feedback="sample", use_glove=True):
         plot_dir=args.plot_dir,
         model_prefix=model_prefix,
     )
+
+
+def resolve_mesh(args):
+    """Mesh from the parallelism flags: 2-D (data, model) for
+    --model_parallel N>1, 1-D data for --data_parallel, else None."""
+    if getattr(args, "model_parallel", 1) > 1:
+        from ..parallel import mesh as pm
+
+        return pm.make_mesh2(model=args.model_parallel)
+    if args.data_parallel:
+        from ..parallel import mesh as pm
+
+        return pm.make_mesh()
+    return None
 
 
 def follower_val_envs(val_splits, datasets, bank):

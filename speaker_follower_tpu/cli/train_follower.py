@@ -20,7 +20,6 @@ import jax
 from ..data.text import Tokenizer, read_vocab
 from ..models.follower import init_follower
 from ..training.trainer import FollowerTrainer
-from ..parallel import mesh as pm
 from ..utils.misc import run
 from . import common
 
@@ -88,7 +87,7 @@ def train_setup(args):
     trainer = FollowerTrainer(
         params, tables, datasets[train_splits[0]], bank, cfg, val_envs=val_envs,
         rng=jax.random.PRNGKey(args.seed),
-        mesh=pm.make_mesh() if args.data_parallel else None,
+        mesh=common.resolve_mesh(args),
     )
     return trainer, datasets, train_splits
 

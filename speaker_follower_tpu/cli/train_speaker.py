@@ -14,7 +14,6 @@ import jax
 from ..data.text import Tokenizer, read_vocab
 from ..models.speaker import init_speaker
 from ..training.trainer import SpeakerTrainer
-from ..parallel import mesh as pm
 from ..utils.misc import run
 from . import common
 
@@ -58,7 +57,7 @@ def train_setup(args):
     trainer = SpeakerTrainer(
         params, tables, datasets[train_splits[0]], bank, cfg,
         tokenizer=tok, val_envs=val_envs, rng=jax.random.PRNGKey(args.seed),
-        mesh=pm.make_mesh() if args.data_parallel else None,
+        mesh=common.resolve_mesh(args),
     )
     return trainer, datasets
 

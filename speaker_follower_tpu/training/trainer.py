@@ -83,7 +83,10 @@ class FollowerTrainer:
         if mesh is not None:
             from ..parallel import mesh as pm
 
-            self.params = pm.replicate(mesh, self.params)
+            # on a 2-D ("data", "model") mesh, column-shard the params
+            # (tensor parallelism); a 1-D mesh replicates (shard_params
+            # falls back to replication without a model axis)
+            self.params = pm.shard_params(mesh, self.params)
             self.tables = type(tables)(
                 *[jax.device_put(jnp.asarray(x), pm.replicated(mesh)) for x in tables]
             )
@@ -317,7 +320,10 @@ class SpeakerTrainer:
         if mesh is not None:
             from ..parallel import mesh as pm
 
-            self.params = pm.replicate(mesh, self.params)
+            # on a 2-D ("data", "model") mesh, column-shard the params
+            # (tensor parallelism); a 1-D mesh replicates (shard_params
+            # falls back to replication without a model axis)
+            self.params = pm.shard_params(mesh, self.params)
             self.tables = type(tables)(
                 *[jax.device_put(jnp.asarray(x), pm.replicated(mesh)) for x in tables]
             )

@@ -243,3 +243,35 @@ def test_tensor_parallel_step_matches_single_device(world):
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_follower_trainer_on_2d_mesh(world):
+    """FollowerTrainer with a (data=4, model=2) mesh: params come out
+    column-sharded, training runs, and loss matches the replicated-mesh
+    trainer (same seed) — TP is numerically transparent."""
+    from speaker_follower_tpu.data.dataset import R2RDataset
+    from speaker_follower_tpu.data.text import Tokenizer
+    from speaker_follower_tpu.training.trainer import FollowerTrainer, TrainConfig
+
+    vocab, ds, bank, tables, params = world
+    cfg = TrainConfig(feedback="teacher", use_glove=False, no_save=True,
+                      learning_rate=3e-3)
+
+    def make(mesh):
+        tok = Tokenizer(vocab=vocab)
+        d = R2RDataset(["sub_val_seen"], tokenizer=tok, batch_size=8, seed=4)
+        d.data = [x for x in d.data if x["scan"] in set(bank.scan_ids)]
+        return FollowerTrainer(
+            jax.tree.map(jnp.array, params), tables, d, bank, cfg,
+            rng=jax.random.PRNGKey(2), mesh=mesh,
+        )
+
+    l_dp = make(pm.make_mesh()).train_interval(3)
+    tr_tp = make(pm.make_mesh2(model=2))
+    specs = {
+        len(getattr(leaf.sharding, "spec", ()))
+        for leaf in jax.tree_util.tree_leaves(tr_tp.params)
+    }
+    assert 1 in specs, "no param leaf is model-sharded on the 2-D mesh"
+    l_tp = tr_tp.train_interval(3)
+    np.testing.assert_allclose(l_dp, l_tp, rtol=1e-4)

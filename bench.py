@@ -173,9 +173,10 @@ def main():
 
     from speaker_follower_tpu.training.optim import adam_with_torch_wd
 
-    if use_pallas:
-        # training uses the XLA pano path (pallas fwd is custom-vjp'd but
-        # the benched trainer matches training/trainer.py defaults)
+    train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "0") == "1" and use_pallas
+    if use_pallas and not train_pallas:
+        # default trainer config is the XLA pano path; BENCH_TRAIN_PALLAS=1
+        # benches the fused custom-VJP kernel in the train step instead
         tables_train = vecenv.make_env_tables(bank, feats_bf16)
     else:
         tables_train = tables
@@ -193,7 +194,7 @@ def main():
             p, t, b, k,
             feedback="sample", episode_len=EPISODE_LEN,
             deterministic=False, dropout_ratio=0.5,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, use_pallas=train_pallas,
         ).loss
 
     # tables/batch are ARGUMENTS, never closures: closed-over device arrays

@@ -66,6 +66,11 @@ def add_common_args(parser: argparse.ArgumentParser):
         "by XLA). Batch size must be a multiple of the device count.",
     )
     parser.add_argument(
+        "--pallas", action="store_true",
+        help="use the fused Pallas pano-attention kernel for follower "
+        "rollouts (train + eval; pads the feature bank views 36->40)",
+    )
+    parser.add_argument(
         "--model_parallel", type=int, default=1, metavar="N",
         help="tensor-parallel degree: build a 2-D (data, model=N) mesh "
         "over all visible devices and column-shard the weight matrices "
@@ -153,7 +158,9 @@ def build_world(args, splits, tokenizer):
                 "use --image_feature_type none/random"
             )
         feats = jnp.asarray(load_tsv_feature_bank(stores, bank), feat_dtype)
-    tables = vecenv.make_env_tables(bank, feats)
+    tables = vecenv.make_env_tables(
+        bank, feats, pad_views=getattr(args, "pallas", False)
+    )
     feature_dim = int(tables.features.shape[-1])
     return datasets, bank, tables, feature_dim
 
@@ -169,6 +176,7 @@ def make_train_config(args, model_prefix, feedback="sample", use_glove=True):
         feedback=feedback,
         use_glove=use_glove,
         compute_dtype="bfloat16" if args.bfloat16_compute else None,
+        use_pallas=getattr(args, "pallas", False),
         no_save=args.no_save,
         snapshot_dir=args.snapshot_dir,
         result_dir=args.result_dir,

@@ -19,6 +19,12 @@ TP is the framework capability for bigger models, not the default.
 
 For multi-host, ``jax.distributed.initialize()`` before building the mesh;
 the same annotations then span hosts (DCN between slices).
+
+Pipeline/expert/sequence parallelism are deliberately absent: there are
+no pipeline stages worth the bubbles in a 2-LSTM seq2seq (episode len 10,
+instruction len 80), no MoE layers, and the recurrence serializes the
+sequence axis — the parallelism that matters for this workload is episode
+data parallelism, with TP available for memory scaling.
 """
 
 from __future__ import annotations

@@ -53,6 +53,12 @@ class TrainConfig:
     # the MXU while softmax/CE and the Adam update stay f32 (master params
     # are f32; the cast happens inside the loss).  None = pure f32.
     compute_dtype: str | None = None
+    # Fused Pallas pano-attention (ops/pano_attention.py, custom-VJP so it
+    # trains) — requires view-padded tables (make_env_tables pad_views;
+    # XLA paths slice the padding back off, so padded tables are safe
+    # everywhere).  Applied to both the train step and eval rollouts.
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # CPU-testing escape hatch
 
 
 def _device_batch(enc):
@@ -106,6 +112,8 @@ class FollowerTrainer:
                     p, t, b, r,
                     feedback=feedback, episode_len=cfg.episode_len,
                     deterministic=True, use_glove=cfg.use_glove,
+                    use_pallas=cfg.use_pallas,
+                    pallas_interpret=cfg.pallas_interpret,
                 )
             )
         return self._eval_rollouts[feedback]
@@ -132,6 +140,8 @@ class FollowerTrainer:
                 dropout_ratio=cfg.dropout_ratio,
                 use_glove=cfg.use_glove,
                 compute_dtype=cfg.compute_dtype,
+                use_pallas=cfg.use_pallas,
+                pallas_interpret=cfg.pallas_interpret,
             )
             return out.loss
 
@@ -370,6 +380,8 @@ class SpeakerTrainer:
                 dropout_ratio=cfg.dropout_ratio,
                 use_glove=cfg.use_glove,
                 compute_dtype=cfg.compute_dtype,
+                use_pallas=cfg.use_pallas,
+                pallas_interpret=cfg.pallas_interpret,
             )
             return out.loss
 

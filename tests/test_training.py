@@ -221,3 +221,37 @@ def test_bfloat16_compute_training_step(world):
                                 compute_dtype="bfloat16")
     assert o16.loss.dtype == jnp.float32
     np.testing.assert_allclose(float(o16.loss), float(o32.loss), rtol=0.05)
+
+
+def test_pallas_trainer_matches_xla(world):
+    """FollowerTrainer with use_pallas (interpret mode on CPU): the fused
+    kernel's custom VJP must reproduce the XLA train step's losses on
+    view-padded tables."""
+    from speaker_follower_tpu.data.features import random_feature_bank as rfb
+
+    vocab, tok, ds, bank, tables = world
+    feats = rfb(bank, dim=FEAT_DIM, seed=0)
+    tables_padded = vecenv.make_env_tables(bank, feats, pad_views=True)
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+
+    def losses(tbl, use_pallas):
+        import jax.numpy as jnp
+
+        cfg = TrainConfig(
+            feedback="teacher", use_glove=False, no_save=True,
+            use_pallas=use_pallas, pallas_interpret=use_pallas,
+        )
+        ds2 = R2RDataset(["sub_val_seen"],
+                         tokenizer=Tokenizer(vocab=vocab), batch_size=8, seed=10)
+        ds2.data = [d for d in ds2.data if d["scan"] in set(bank.scan_ids)]
+        tr = FollowerTrainer(jax.tree.map(jnp.array, params), tbl, ds2, bank, cfg,
+                             rng=jax.random.PRNGKey(3))
+        return tr.train_interval(2)
+
+    l_xla = losses(tables, False)
+    l_pallas = losses(tables_padded, True)
+    np.testing.assert_allclose(l_xla, l_pallas, rtol=2e-4)

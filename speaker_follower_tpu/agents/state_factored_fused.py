@@ -1,0 +1,603 @@
+"""State-factored search as ONE device program (fixed-capacity tables).
+
+The host-orchestrated implementation (agents/state_factored.py) keeps the
+reference's dict/heap bookkeeping on the host around a jitted decoder
+step; over a high-latency (tunneled) backend those per-round dispatches
+dominate wall-clock.  This module moves the ENTIRE search — dedup cache,
+best-first selection, completion accounting, trajectory bookkeeping —
+into a single ``lax.while_loop`` program, so an arbitrary number of
+search rounds costs one dispatch.
+
+Semantics mirror tasks/R2R/follower.py:720-980 (state_factored_search)
+exactly, phase-shifted: each device round does
+  select top-``successor_size`` unexpanded entries per instance
+    (score-descending, drawn from BOTH the continue cache and the
+    finished-hypothesis holding set, like the reference's
+    ``to_consider``/heapq.nlargest)
+  -> move selected finished entries into the completion table
+     (key-deduplicated keeping the best score)
+  -> batched decoder step on selected continue entries
+  -> expand ALL valid actions; a successor is finished when it stops
+     (action 0) or exhausts the episode length
+  -> dedup successors by world-state key (best score wins), then insert:
+     matching table entries are replaced when strictly beaten (re-opening
+     expanded states, like the reference cache), new keys claim free
+     slots.
+The reference's while loop interleaves the same operations one phase
+apart (it decodes the PREVIOUS round's selection), producing the same
+sequence of (selection, expansion) pairs; parity is asserted against the
+host implementation in tests/test_state_factored.py.
+
+Fixed shapes: the dedup cache holds ``table_capacity`` world states per
+instance.  The reference's dict grows without bound; here, if a round
+needs more slots than are free, the weakest successors are dropped and
+the per-instance ``overflow`` flag is raised (the wrapper warns — raise
+``table_capacity`` for exact semantics).  Hypothesis trees are stored as
+full per-slot trajectories (episodes are <= ``episode_len`` steps, so a
+trajectory is at most ``episode_len + 1`` states — copying beats pointer
+chasing on a vector machine).
+
+The physically-traversable exploration order needs the selection
+*history*; the program logs each round's continue-selections (their
+selection-time trajectories) into a ``(max_rounds, B, S, ...)`` buffer,
+and the host wrapper replays the reference's
+``least_common_viewpoint_path`` walk over the log.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.graph import ANGLE_INC, NUM_ACTIONS, NUM_HEADINGS
+from ..env import vecenv
+from ..models import follower as fmodels
+from ..models.attention import NEG_INF
+from .state_factored import Hyp, least_common_viewpoint_path, backchain
+
+BAD = jnp.float32(NEG_INF)
+
+
+class _SFState(NamedTuple):
+    """while_loop carry: all (B, ...) device arrays."""
+
+    # dedup cache + finished-holding set (namespace split by is_comp)
+    node: jnp.ndarray  # (B, K) int32, world-state viewpoint
+    heading: jnp.ndarray  # (B, K) int32
+    elev: jnp.ndarray  # (B, K) int32
+    in_use: jnp.ndarray  # (B, K) bool
+    score: jnp.ndarray  # (B, K) f32
+    expanded: jnp.ndarray  # (B, K) bool
+    is_comp: jnp.ndarray  # (B, K) bool: finished hyp awaiting selection
+    steps: jnp.ndarray  # (B, K) int32 action_count
+    tnode: jnp.ndarray  # (B, K, T1) int32 trajectory nodes
+    thead: jnp.ndarray  # (B, K, T1) int32
+    telev: jnp.ndarray  # (B, K, T1) int32
+    tact: jnp.ndarray  # (B, K, T1) int32 action leading to entry t (-1 root)
+    tascore: jnp.ndarray  # (B, K, T1) f32 log-prob of that action
+    h: jnp.ndarray  # (B, K, H) f32
+    c: jnp.ndarray  # (B, K, H) f32
+    # completion table (key-deduplicated)
+    comp_in_use: jnp.ndarray  # (B, CK) bool
+    comp_score: jnp.ndarray  # (B, CK) f32
+    comp_node: jnp.ndarray  # (B, CK) int32
+    comp_heading: jnp.ndarray  # (B, CK) int32
+    comp_elev: jnp.ndarray  # (B, CK) int32
+    comp_steps: jnp.ndarray  # (B, CK) int32
+    comp_tnode: jnp.ndarray  # (B, CK, T1) int32
+    comp_thead: jnp.ndarray  # (B, CK, T1) int32
+    comp_telev: jnp.ndarray  # (B, CK, T1) int32
+    comp_tact: jnp.ndarray  # (B, CK, T1) int32
+    comp_tascore: jnp.ndarray  # (B, CK, T1) f32
+    # continue-selection log for traversal reconstruction
+    sel_valid: jnp.ndarray  # (R, B, S) bool
+    sel_steps: jnp.ndarray  # (R, B, S) int32
+    sel_tnode: jnp.ndarray  # (R, B, S, T1) int32
+    sel_thead: jnp.ndarray  # (R, B, S, T1) int32
+    sel_telev: jnp.ndarray  # (R, B, S, T1) int32
+    round: jnp.ndarray  # () int32
+    overflow: jnp.ndarray  # (B,) bool
+    # did the previous round select any continue-entry anywhere?  The
+    # reference breaks its loop when all beams are empty even if some
+    # instances are below completion_size (follower.py: `if not any
+    # (beams): break`) — an instance whose every selection is a finished
+    # hypothesis stops making progress once every OTHER instance stops.
+    prev_cont: jnp.ndarray  # () bool
+
+
+def _masked_set(arr, bi, idx, values, valid):
+    """Scatter rows with a validity mask: invalid rows write out of bounds
+    and are dropped."""
+    safe = jnp.where(valid, idx, arr.shape[1])
+    return arr.at[bi, safe].set(values, mode="drop")
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "completion_size", "successor_size", "episode_len", "first_n_ws_key",
+        "max_rounds", "table_capacity", "use_glove",
+    ),
+)
+def _search_program(
+    params,
+    tables: vecenv.EnvTables,
+    seq,
+    seq_length,
+    seq_mask,
+    scan,
+    start_node,
+    start_heading,
+    *,
+    completion_size: int,
+    successor_size: int,
+    episode_len: int,
+    first_n_ws_key: int,
+    max_rounds: int,
+    table_capacity: int,
+    use_glove: bool,
+):
+    ctx, h0, c0 = fmodels.encoder_apply(
+        params["encoder"], seq, seq_length, deterministic=True,
+        use_glove=use_glove,
+    )
+    b = ctx.shape[0]
+    hdim = h0.shape[-1]
+    K = table_capacity
+    S = successor_size
+    A = NUM_ACTIONS
+    T1 = episode_len + 1
+    CK = completion_size + successor_size
+    R = max_rounds
+    bi = jnp.arange(b)[:, None]
+
+    def key_eq(n1, h1, e1, n2, h2, e2):
+        """World-state key equality under first_n_ws_key (4 = full state,
+        3 = drop elevation, 2 = viewpoint only; reference follower.py:893)."""
+        eq = n1 == n2
+        if first_n_ws_key >= 3:
+            eq &= h1 == h2
+        if first_n_ws_key >= 4:
+            eq &= e1 == e2
+        return eq
+
+    zK = lambda dt: jnp.zeros((b, K), dt)
+    zKT = lambda dt: jnp.zeros((b, K, T1), dt)
+    zC = lambda dt: jnp.zeros((b, CK), dt)
+    zCT = lambda dt: jnp.zeros((b, CK, T1), dt)
+
+    st = _SFState(
+        node=zK(jnp.int32).at[:, 0].set(start_node),
+        heading=zK(jnp.int32).at[:, 0].set(start_heading),
+        elev=zK(jnp.int32).at[:, 0].set(1),
+        in_use=zK(bool).at[:, 0].set(True),
+        score=jnp.full((b, K), BAD).at[:, 0].set(0.0),
+        expanded=zK(bool),
+        is_comp=zK(bool),
+        steps=zK(jnp.int32),
+        tnode=zKT(jnp.int32).at[:, 0, 0].set(start_node),
+        thead=zKT(jnp.int32).at[:, 0, 0].set(start_heading),
+        telev=zKT(jnp.int32).at[:, 0, 0].set(1),
+        tact=zKT(jnp.int32).at[:, 0, 0].set(-1),
+        tascore=zKT(jnp.float32),
+        h=jnp.zeros((b, K, hdim)).at[:, 0].set(h0),
+        c=jnp.zeros((b, K, hdim)).at[:, 0].set(c0),
+        comp_in_use=zC(bool),
+        comp_score=jnp.full((b, CK), BAD),
+        comp_node=zC(jnp.int32),
+        comp_heading=zC(jnp.int32),
+        comp_elev=zC(jnp.int32),
+        comp_steps=zC(jnp.int32),
+        comp_tnode=zCT(jnp.int32),
+        comp_thead=zCT(jnp.int32),
+        comp_telev=zCT(jnp.int32),
+        comp_tact=zCT(jnp.int32),
+        comp_tascore=zCT(jnp.float32),
+        sel_valid=jnp.zeros((R, b, S), bool),
+        sel_steps=jnp.zeros((R, b, S), jnp.int32),
+        sel_tnode=jnp.zeros((R, b, S, T1), jnp.int32),
+        sel_thead=jnp.zeros((R, b, S, T1), jnp.int32),
+        sel_telev=jnp.zeros((R, b, S, T1), jnp.int32),
+        round=jnp.int32(0),
+        overflow=jnp.zeros((b,), bool),
+        prev_cont=jnp.bool_(True),
+    )
+
+    def done_mask(st):
+        return st.comp_in_use.sum(axis=1) >= completion_size
+
+    def cond(st):
+        eligible = st.in_use & ~st.expanded & ~done_mask(st)[:, None]
+        return (
+            (st.round < max_rounds)
+            & (~done_mask(st)).any()
+            & eligible.any()
+            & st.prev_cont
+        )
+
+    def body(st):
+        done = done_mask(st)
+        # ---- selection: top-S unexpanded per instance, score-descending
+        eligible = st.in_use & ~st.expanded & ~done[:, None]
+        esc = jnp.where(eligible, st.score, BAD)
+        sel_score, sel_idx = jax.lax.top_k(esc, S)  # (B, S)
+        sel_ok = sel_score > BAD / 2
+        sel_iscomp = st.is_comp[bi, sel_idx] & sel_ok
+        sel_cont = sel_ok & ~sel_iscomp
+
+        expanded = _masked_set(
+            st.expanded, bi, sel_idx, jnp.ones((b, S), bool), sel_ok
+        )
+
+        # ---- move selected finished entries into the completion table
+        cn = st.node[bi, sel_idx]
+        ch = st.heading[bi, sel_idx]
+        ce = st.elev[bi, sel_idx]
+        match_c = (
+            key_eq(
+                cn[:, :, None], ch[:, :, None], ce[:, :, None],
+                st.comp_node[:, None, :], st.comp_heading[:, None, :],
+                st.comp_elev[:, None, :],
+            )
+            & st.comp_in_use[:, None, :]
+        )  # (B, S, CK)
+        has_match = match_c.any(axis=2) & sel_iscomp
+        match_idx = jnp.argmax(match_c, axis=2)  # (B, S)
+        beats = sel_score > st.comp_score[bi, match_idx]
+        upd = has_match & beats
+        need_alloc = sel_iscomp & ~has_match
+        free_order = jnp.argsort(st.comp_in_use, axis=1, stable=True)  # free first
+        rank = jnp.cumsum(need_alloc, axis=1) - 1
+        free_count = (~st.comp_in_use).sum(axis=1, keepdims=True)
+        alloc_ok = need_alloc & (rank < free_count)
+        alloc_idx = free_order[bi, jnp.clip(rank, 0, CK - 1)]
+        # one scatter for updates, one for allocations
+        tgt = jnp.where(upd, match_idx, alloc_idx)
+        write = upd | alloc_ok
+        comp_in_use = _masked_set(st.comp_in_use, bi, tgt, jnp.ones((b, S), bool), write)
+        comp_score = _masked_set(st.comp_score, bi, tgt, sel_score, write)
+        comp_node = _masked_set(st.comp_node, bi, tgt, cn, write)
+        comp_heading = _masked_set(st.comp_heading, bi, tgt, ch, write)
+        comp_elev = _masked_set(st.comp_elev, bi, tgt, ce, write)
+        comp_steps = _masked_set(st.comp_steps, bi, tgt, st.steps[bi, sel_idx], write)
+        comp_tnode = _masked_set(st.comp_tnode, bi, tgt, st.tnode[bi, sel_idx], write)
+        comp_thead = _masked_set(st.comp_thead, bi, tgt, st.thead[bi, sel_idx], write)
+        comp_telev = _masked_set(st.comp_telev, bi, tgt, st.telev[bi, sel_idx], write)
+        comp_tact = _masked_set(st.comp_tact, bi, tgt, st.tact[bi, sel_idx], write)
+        comp_tascore = _masked_set(
+            st.comp_tascore, bi, tgt, st.tascore[bi, sel_idx], write
+        )
+
+        # ---- log continue-selections (selection-time trajectories)
+        r = st.round
+        sel_valid = st.sel_valid.at[r].set(sel_cont)
+        sel_steps_log = st.sel_steps.at[r].set(st.steps[bi, sel_idx])
+        sel_tnode = st.sel_tnode.at[r].set(st.tnode[bi, sel_idx])
+        sel_thead = st.sel_thead.at[r].set(st.thead[bi, sel_idx])
+        sel_telev = st.sel_telev.at[r].set(st.telev[bi, sel_idx])
+
+        # ---- decoder step on the continue-selections
+        sn = st.node[bi, sel_idx]
+        sh = st.heading[bi, sel_idx]
+        se = st.elev[bi, sel_idx]
+        ssteps = st.steps[bi, sel_idx]
+        flat = lambda x: x.reshape((b * S,) + x.shape[2:])
+        scan_f = jnp.broadcast_to(scan[:, None], (b, S)).reshape(-1)
+        state = vecenv.EnvState(
+            scan=scan_f, node=flat(sn), heading=flat(sh), elev=flat(se),
+            step=jnp.zeros((b * S,), jnp.int32), done=jnp.zeros((b * S,), bool),
+        )
+        obs = vecenv.observe(tables, state, flat(sn))  # goal unused
+        # previous-action embedding from the parent state + taken action
+        p_t = jnp.maximum(ssteps - 1, 0)
+        pn = jnp.take_along_axis(st.tnode[bi, sel_idx], p_t[..., None], axis=2)[..., 0]
+        ph = jnp.take_along_axis(st.thead[bi, sel_idx], p_t[..., None], axis=2)[..., 0]
+        pe = jnp.take_along_axis(st.telev[bi, sel_idx], p_t[..., None], axis=2)[..., 0]
+        act = jnp.take_along_axis(st.tact[bi, sel_idx], ssteps[..., None], axis=2)[..., 0]
+        parent_state = vecenv.EnvState(
+            scan=scan_f, node=flat(pn), heading=flat(ph), elev=flat(pe),
+            step=jnp.zeros((b * S,), jnp.int32), done=jnp.zeros((b * S,), bool),
+        )
+        parent_obs = vecenv.observe(tables, parent_state, flat(pn))
+        act_f = flat(act)
+        u = jnp.take_along_axis(
+            parent_obs.action_embedding,
+            jnp.maximum(act_f, 0)[:, None, None],
+            axis=1,
+        )[:, 0]
+        u = jnp.where((act_f >= 0)[:, None], u, 0.0)
+        hh = flat(st.h[bi, sel_idx])
+        cc = flat(st.c[bi, sel_idx])
+        ctx_f = ctx[jnp.broadcast_to(jnp.arange(b)[:, None], (b, S)).reshape(-1)]
+        mask_f = seq_mask[jnp.broadcast_to(jnp.arange(b)[:, None], (b, S)).reshape(-1)]
+        h1, c1, _, logit, _ = fmodels.decoder_step(
+            params["decoder"], u, obs.action_embedding, obs.pano_feature,
+            hh, cc, ctx_f, mask_f, deterministic=True,
+        )
+        logit = jnp.where(obs.action_valid, logit, BAD)
+        log_probs = jax.nn.log_softmax(logit, axis=-1)  # (B*S, A)
+
+        # ---- successors: every valid action of every continue-selection
+        lp = log_probs.reshape(b, S, A)
+        av = obs.action_valid.reshape(b, S, A) & sel_cont[..., None]
+        gnode = tables.offsets[scan][:, None] + sn  # (B, S) global
+        a_ix = jnp.arange(A)[None, None, :]
+        slot = jnp.take_along_axis(
+            tables.adj_perm[gnode], sh[..., None, None], axis=2
+        )[:, :, 0, :]  # (B, S, MAX_DEGREE) per-heading ordering
+        slot_a = jnp.take_along_axis(
+            slot, jnp.clip(a_ix - 1, 0, A - 2), axis=2
+        )  # (B, S, A)
+        slot_a = jnp.maximum(slot_a, 0)
+        view_a = jnp.take_along_axis(tables.adj_view[gnode], slot_a, axis=2)
+        next_a = jnp.take_along_axis(tables.adj_next[gnode], slot_a, axis=2)
+        is_stop = a_ix == 0
+        s_node = jnp.where(is_stop, sn[..., None], next_a)
+        s_head = jnp.where(is_stop, sh[..., None], view_a % NUM_HEADINGS)
+        s_elev = jnp.where(is_stop, se[..., None], view_a // NUM_HEADINGS)
+        s_steps = jnp.broadcast_to(ssteps[..., None] + 1, (b, S, A))
+        s_score = jnp.where(av, sel_score[..., None] + lp, BAD)
+        s_iscomp = is_stop | (s_steps >= episode_len)
+        SA = S * A
+        fl = lambda x: x.reshape(b, SA)
+        s_node, s_head, s_elev = fl(s_node), fl(s_head), fl(s_elev)
+        s_steps, s_score = fl(s_steps), fl(s_score)
+        s_iscomp = jnp.broadcast_to(s_iscomp, (b, S, A)).reshape(b, SA)
+        s_act = jnp.broadcast_to(a_ix, (b, S, A)).reshape(b, SA).astype(jnp.int32)
+        s_lp = fl(jnp.where(av, lp, 0.0))
+        s_alive = fl(av) & (s_score > BAD / 2)
+        parent_s = jnp.arange(SA) // A  # selection row of each successor
+
+        # trajectories: parent trajectory + one appended state
+        pt_n = st.tnode[bi, sel_idx][:, parent_s]  # (B, SA, T1)
+        pt_h = st.thead[bi, sel_idx][:, parent_s]
+        pt_e = st.telev[bi, sel_idx][:, parent_s]
+        pt_a = st.tact[bi, sel_idx][:, parent_s]
+        pt_as = st.tascore[bi, sel_idx][:, parent_s]
+        t_ix = jnp.arange(T1)[None, None, :]
+        at_t = t_ix == jnp.clip(s_steps, 0, T1 - 1)[..., None]
+        s_tnode = jnp.where(at_t, s_node[..., None], pt_n)
+        s_thead = jnp.where(at_t, s_head[..., None], pt_h)
+        s_telev = jnp.where(at_t, s_elev[..., None], pt_e)
+        s_tact = jnp.where(at_t, s_act[..., None], pt_a)
+        s_tascore = jnp.where(at_t, s_lp[..., None], pt_as)
+        s_h = h1.reshape(b, S, hdim)[:, parent_s % S]  # (B, SA, H)
+        s_c = c1.reshape(b, S, hdim)[:, parent_s % S]
+
+        # ---- dedup successors among themselves (same key+namespace):
+        # keep the best score; ties keep the lowest index (the reference
+        # iterates successors score-descending and keeps the first)
+        eqm = key_eq(
+            s_node[:, :, None], s_head[:, :, None], s_elev[:, :, None],
+            s_node[:, None, :], s_head[:, None, :], s_elev[:, None, :],
+        ) & (s_iscomp[:, :, None] == s_iscomp[:, None, :])
+        j_ix = jnp.arange(SA)
+        better = (s_score[:, None, :] > s_score[:, :, None]) | (
+            (s_score[:, None, :] == s_score[:, :, None])
+            & (j_ix[None, None, :] < j_ix[None, :, None])
+        )
+        dominated = (eqm & better & s_alive[:, None, :]).any(axis=2)
+        s_alive = s_alive & ~dominated
+
+        # ---- match against the table (same key+namespace)
+        m = (
+            key_eq(
+                s_node[:, :, None], s_head[:, :, None], s_elev[:, :, None],
+                st.node[:, None, :], st.heading[:, None, :], st.elev[:, None, :],
+            )
+            & (s_iscomp[:, :, None] == st.is_comp[:, None, :])
+            & st.in_use[:, None, :]
+        )  # (B, SA, K)
+        has_m = m.any(axis=2) & s_alive
+        m_idx = jnp.argmax(m, axis=2)
+        replace = has_m & (s_score > st.score[bi, m_idx])  # strict (:452)
+        need_alloc = s_alive & ~has_m
+        free_order_k = jnp.argsort(st.in_use, axis=1, stable=True)
+        rank_k = jnp.cumsum(need_alloc, axis=1) - 1
+        free_count_k = (~st.in_use).sum(axis=1, keepdims=True)
+        alloc_ok_k = need_alloc & (rank_k < free_count_k)
+        overflow = st.overflow | (need_alloc & ~alloc_ok_k).any(axis=1)
+        alloc_idx_k = free_order_k[bi, jnp.clip(rank_k, 0, K - 1)]
+        tgt_k = jnp.where(replace, m_idx, alloc_idx_k)
+        write_k = replace | alloc_ok_k
+
+        one = jnp.ones((b, SA), bool)
+        in_use = _masked_set(st.in_use, bi, tgt_k, one, write_k)
+        node = _masked_set(st.node, bi, tgt_k, s_node, write_k)
+        heading = _masked_set(st.heading, bi, tgt_k, s_head, write_k)
+        elev = _masked_set(st.elev, bi, tgt_k, s_elev, write_k)
+        score = _masked_set(st.score, bi, tgt_k, s_score, write_k)
+        expanded = _masked_set(expanded, bi, tgt_k, jnp.zeros((b, SA), bool), write_k)
+        is_comp = _masked_set(st.is_comp, bi, tgt_k, s_iscomp, write_k)
+        steps = _masked_set(st.steps, bi, tgt_k, s_steps, write_k)
+        tnode = _masked_set(st.tnode, bi, tgt_k, s_tnode, write_k)
+        thead = _masked_set(st.thead, bi, tgt_k, s_thead, write_k)
+        telev = _masked_set(st.telev, bi, tgt_k, s_telev, write_k)
+        tact = _masked_set(st.tact, bi, tgt_k, s_tact, write_k)
+        tascore = _masked_set(st.tascore, bi, tgt_k, s_tascore, write_k)
+        h = _masked_set(st.h, bi, tgt_k, s_h, write_k)
+        c = _masked_set(st.c, bi, tgt_k, s_c, write_k)
+
+        return _SFState(
+            node=node, heading=heading, elev=elev, in_use=in_use, score=score,
+            expanded=expanded, is_comp=is_comp, steps=steps,
+            tnode=tnode, thead=thead, telev=telev, tact=tact, tascore=tascore,
+            h=h, c=c,
+            comp_in_use=comp_in_use, comp_score=comp_score,
+            comp_node=comp_node, comp_heading=comp_heading,
+            comp_elev=comp_elev, comp_steps=comp_steps,
+            comp_tnode=comp_tnode, comp_thead=comp_thead,
+            comp_telev=comp_telev, comp_tact=comp_tact,
+            comp_tascore=comp_tascore,
+            sel_valid=sel_valid, sel_steps=sel_steps_log,
+            sel_tnode=sel_tnode, sel_thead=sel_thead, sel_telev=sel_telev,
+            round=st.round + 1, overflow=overflow,
+            prev_cont=sel_cont.any(),
+        )
+
+    return jax.lax.while_loop(cond, body, st)
+
+
+def _hyp_chain(tn, th, te, ta, tas, steps, total_score=None):
+    """Rebuild a root-to-leaf Hyp linked list from trajectory arrays."""
+    hyp = None
+    score = 0.0
+    for t in range(steps + 1):
+        score += float(tas[t])
+        hyp = Hyp(
+            parent=hyp,
+            node=int(tn[t]), heading=int(th[t]), elev=int(te[t]),
+            action=int(ta[t]), action_count=t,
+            score=score if total_score is None or t < steps else float(total_score),
+            slot=-1, action_score=float(tas[t]),
+        )
+    return hyp
+
+
+def state_factored_search_fused(
+    params,
+    tables: vecenv.EnvTables,
+    batch,
+    graph_bank,
+    *,
+    completion_size: int = 10,
+    successor_size: int = 10,
+    episode_len: int = 10,
+    first_n_ws_key: int = 4,
+    max_rounds: int = 100,
+    table_capacity: int = 1024,
+    use_glove: bool = True,
+):
+    """Drop-in for state_factored.state_factored_search, one device call.
+
+    Returns (candidates, completed_lists, traversed) in the host format
+    (Hyp objects rebuilt from the device trajectory tables, so
+    ``physical_trajectory`` works unchanged).
+    """
+    st = _search_program(
+        params, tables,
+        jnp.asarray(batch["seq"]), jnp.asarray(batch["seq_length"]),
+        jnp.asarray(batch["seq_mask"]),
+        jnp.asarray(batch["scan"]), jnp.asarray(batch["start_node"]),
+        jnp.asarray(batch["heading"]),
+        completion_size=completion_size, successor_size=successor_size,
+        episode_len=episode_len, first_n_ws_key=first_n_ws_key,
+        max_rounds=max_rounds, table_capacity=table_capacity,
+        use_glove=use_glove,
+    )
+    # one bulk host transfer of the small output tables
+    get = lambda x: np.asarray(x)
+    comp_in_use = get(st.comp_in_use)
+    comp_score = get(st.comp_score)
+    comp_steps = get(st.comp_steps)
+    comp_tn, comp_th, comp_te = get(st.comp_tnode), get(st.comp_thead), get(st.comp_telev)
+    comp_ta, comp_tas = get(st.comp_tact), get(st.comp_tascore)
+    sel_valid = get(st.sel_valid)
+    sel_steps = get(st.sel_steps)
+    sel_tn, sel_th, sel_te = get(st.sel_tnode), get(st.sel_thead), get(st.sel_telev)
+    rounds = int(st.round)
+    overflow = get(st.overflow)
+    b = comp_in_use.shape[0]
+
+    if overflow.any():
+        import warnings
+
+        warnings.warn(
+            f"state_factored_search_fused: dedup table overflow on "
+            f"{int(overflow.sum())}/{b} instances (capacity "
+            f"{table_capacity}); weakest successors were dropped — raise "
+            f"table_capacity for exact reference semantics",
+            stacklevel=2,
+        )
+    n_short = sum(
+        1 for i in range(b) if comp_in_use[i].sum() < completion_size
+    )
+    if rounds >= max_rounds and n_short:
+        import warnings
+
+        warnings.warn(
+            f"state_factored_search_fused truncated at max_rounds="
+            f"{max_rounds}: {n_short}/{b} instances below completion_size",
+            stacklevel=2,
+        )
+
+    scan_np = np.asarray(batch["scan"])
+    graphs = [graph_bank.graphs[graph_bank.scan_ids[s]] for s in scan_np]
+
+    completed_lists = []
+    for i in range(b):
+        hyps = [
+            _hyp_chain(
+                comp_tn[i, k], comp_th[i, k], comp_te[i, k],
+                comp_ta[i, k], comp_tas[i, k], int(comp_steps[i, k]),
+                total_score=comp_score[i, k],
+            )
+            for k in range(comp_in_use.shape[1])
+            if comp_in_use[i, k]
+        ]
+        hyps.sort(key=lambda t: t.score, reverse=True)
+        completed_lists.append(hyps[:completion_size])
+
+    # replay the reference's physical-traversal walk over the selection log
+    traversed = []
+    for i in range(b):
+        root = _hyp_chain(
+            sel_tn[0, i, 0], sel_th[0, i, 0], sel_te[0, i, 0],
+            np.full(sel_tn.shape[-1], -1), np.zeros(sel_tn.shape[-1]), 0,
+        ) if rounds > 0 and sel_valid[0, i, 0] else Hyp(
+            parent=None, node=int(batch["start_node"][i]),
+            heading=int(batch["heading"][i]), elev=1, action=-1,
+            action_count=0, score=0.0, slot=-1,
+        )
+        last = root
+        trav = [root]
+        for r in range(rounds):
+            for s in range(sel_valid.shape[2]):
+                if not sel_valid[r, i, s]:
+                    continue
+                if r == 0 and s == 0:
+                    continue  # the root itself
+                hyp = _hyp_chain(
+                    sel_tn[r, i, s], sel_th[r, i, s], sel_te[r, i, s],
+                    np.full(sel_tn.shape[-1], 0), np.zeros(sel_tn.shape[-1]),
+                    int(sel_steps[r, i, s]),
+                )
+                path = least_common_viewpoint_path(last, hyp)
+                trav.extend(path[1:])
+                last = hyp
+        for hyp in completed_lists[i]:
+            path = least_common_viewpoint_path(last, hyp)
+            trav.extend(path[1:])
+            last = hyp
+        traversed.append(trav)
+
+    candidates = []
+    for i in range(b):
+        g = graphs[i]
+        cands = []
+        for hyp in completed_lists[i]:
+            chain = backchain(hyp)
+            traj = [
+                (
+                    g.node_ids[hh.node],
+                    float(hh.heading) * ANGLE_INC,
+                    (float(hh.elev) - 1.0) * ANGLE_INC,
+                )
+                for hh in chain
+            ]
+            cands.append(
+                {
+                    "instr_id": batch["instr_id"][i],
+                    "trajectory": traj,
+                    "actions": [hh.action for hh in chain[1:]],
+                    "scores": [hh.action_score for hh in chain[1:]],
+                    "score": float(hyp.score),
+                    "instr_encoding": batch["item"][i].get("instr_encoding"),
+                }
+            )
+        candidates.append(cands)
+    return candidates, completed_lists, traversed

@@ -25,6 +25,11 @@ def make_arg_parser():
     parser.add_argument("speaker_prefix")
     parser.add_argument("--beam_size", type=int, default=10)
     parser.add_argument("--state_factored_search", action="store_true")
+    parser.add_argument(
+        "--fused_search", action="store_true",
+        help="run the state-factored search as ONE device program "
+        "(fixed-capacity tables) instead of the host-orchestrated loop",
+    )
     parser.add_argument("--state_first_n_ws_key", type=int, default=4)
     parser.add_argument("--physical_traversal", action="store_true")
     parser.add_argument("--output_file")
@@ -69,6 +74,7 @@ def validate_entry_point(args):
             bank,
             beam_size=args.beam_size,
             state_factored_search=args.state_factored_search,
+            fused_search=args.fused_search,
             state_first_n_ws_key=args.state_first_n_ws_key,
             physical_traversal=args.physical_traversal,
             use_glove=use_glove,

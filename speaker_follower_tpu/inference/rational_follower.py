@@ -107,14 +107,25 @@ def generate_candidates(
     state_first_n_ws_key: int = 4,
     episode_len: int = EPISODE_LEN,
     use_glove: bool = True,
+    fused: bool = False,
 ):
-    """Per-instance candidate lists (+ traversal lists for state-factored)."""
+    """Per-instance candidate lists (+ traversal lists for state-factored).
+
+    ``fused`` runs the whole state-factored search as one device program
+    (agents/state_factored_fused.py) instead of the host-orchestrated
+    loop — same results, one dispatch for all rounds."""
     db = {
         k: jnp.asarray(enc[k])
         for k in ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
     }
     if state_factored:
-        candidates, completed, traversed = sf.state_factored_search(
+        if fused:
+            from ..agents.state_factored_fused import state_factored_search_fused
+
+            search = state_factored_search_fused
+        else:
+            search = sf.state_factored_search
+        candidates, completed, traversed = search(
             follower_params, tables, enc, graph_bank,
             completion_size=beam_size, successor_size=1,
             episode_len=episode_len, first_n_ws_key=state_first_n_ws_key,
@@ -144,6 +155,7 @@ def run_rational_follower(
     speaker_weights=(0.0, 0.95),
     max_instruction_length: int = 80,
     use_glove: bool = True,
+    fused_search: bool = False,
     output_file=None,
     eval_file=None,
 ):
@@ -168,6 +180,7 @@ def run_rational_follower(
         candidates, completed, traversed = generate_candidates(
             follower_params, tables, enc, graph_bank,
             beam_size=beam_size, state_factored=state_factored_search,
+            fused=fused_search,
             state_first_n_ws_key=state_first_n_ws_key, use_glove=use_glove,
         )
         # annotate candidates with replay coordinates for speaker scoring

@@ -183,3 +183,37 @@ def test_augmentation_output_format(world, tmp_path):
         assert set(item.keys()) >= {"scan", "path_id", "path", "heading", "instructions"}
         assert len(item["instructions"]) == 1
         assert isinstance(item["instructions"][0], str)
+
+def test_rational_follower_fused_search_matches_host(world):
+    """run_rational_follower with fused_search=True must produce the same
+    accuracies and choices as the host-orchestrated state-factored path."""
+    from speaker_follower_tpu.evaluation.follower_eval import Evaluation
+    from speaker_follower_tpu.inference.rational_follower import (
+        run_rational_follower,
+    )
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    full_bank = load_graph_bank(
+        sorted(R2RDataset(["sub_val_seen"]).scans), CONN
+    )
+    ev = Evaluation(["sub_val_seen"], full_bank)
+    ev.instr_ids = {d["instr_id"] for d in ds.data}
+
+    out = {}
+    state0 = ds.get_state()
+    for fused in (False, True):
+        # identical batch composition for both runs: the reference's
+        # global loop break makes per-instruction results depend on the
+        # co-batched instructions, so the iterator state must be pinned
+        ds.set_state(state0)
+        out[fused] = run_rational_follower(
+            ds, ev, f_params, s_params, tables, bank,
+            beam_size=3, state_factored_search=True, physical_traversal=True,
+            max_instruction_length=MAXLEN, fused_search=fused,
+        )
+    acc_h, counts_h = out[False]
+    acc_f, counts_f = out[True]
+    for w in acc_h:
+        for k, v in acc_h[w].items():
+            np.testing.assert_allclose(v, acc_f[w][k], atol=1e-6, err_msg=f"{w}/{k}")
+    assert counts_h == counts_f

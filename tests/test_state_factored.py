@@ -198,3 +198,84 @@ def test_state_factored_optimality_vs_beam_and_greedy(world):
         assert top >= g_score[i] - 1e-4, (i, top, g_score[i])
         if count[i]:
             assert top >= beam_scores[i, 0] - 1e-4, (i, top, beam_scores[i, 0])
+
+
+# ---------------------------------------------- fused on-device search
+
+
+class TestFusedSearch:
+    """state_factored_search_fused (one while_loop program) must reproduce
+    the host-orchestrated search: same completed world states and scores,
+    same candidate ordering, same physically-traversable exploration."""
+
+    @pytest.fixture(scope="class")
+    def both(self, world):
+        from speaker_follower_tpu.agents import state_factored_fused as sff
+
+        bank, tables, params, enc = world
+        kw = dict(completion_size=5, successor_size=3, episode_len=10)
+        host = sf.state_factored_search(params, tables, enc, bank, **kw)
+        fused = sff.state_factored_search_fused(
+            params, tables, enc, bank, **kw
+        )
+        return host, fused
+
+    def test_completed_states_and_scores_match(self, both):
+        host, fused = both
+        for hl, fl in zip(host[1], fused[1]):
+            hk = [((h.node, h.heading, h.elev), round(h.score, 4)) for h in hl]
+            fk = [((h.node, h.heading, h.elev), round(h.score, 4)) for h in fl]
+            assert hk == fk
+
+    def test_candidates_match(self, both):
+        host, fused = both
+        for hc, fc in zip(host[0], fused[0]):
+            assert len(hc) == len(fc)
+            for a, b in zip(hc, fc):
+                assert a["instr_id"] == b["instr_id"]
+                assert a["trajectory"] == b["trajectory"]
+                assert a["actions"] == b["actions"]
+                np.testing.assert_allclose(a["score"], b["score"], atol=1e-4)
+                np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+
+    def test_traversal_matches(self, both):
+        host, fused = both
+        for ht, ft in zip(host[2], fused[2]):
+            h_states = [(h.node, h.heading, h.elev) for h in ht]
+            f_states = [(h.node, h.heading, h.elev) for h in ft]
+            assert h_states == f_states
+
+    def test_physical_trajectories_match(self, world, both):
+        from speaker_follower_tpu.agents.state_factored import (
+            physical_trajectory,
+        )
+
+        bank, tables, params, enc = world
+        host, fused = both
+        scan_np = np.asarray(enc["scan"])
+        for i in range(len(host[1])):
+            g = bank.graphs[bank.scan_ids[scan_np[i]]]
+            for hh, fh in zip(host[1][i], fused[1][i]):
+                assert physical_trajectory(host[2][i], hh, g) == \
+                    physical_trajectory(fused[2][i], fh, g)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(completion_size=3, successor_size=1, episode_len=8),
+    dict(completion_size=5, successor_size=10, episode_len=10),
+    dict(completion_size=4, successor_size=4, episode_len=10, first_n_ws_key=2),
+    dict(completion_size=4, successor_size=4, episode_len=10, first_n_ws_key=3),
+])
+def test_fused_matches_host_across_configs(world, kw):
+    from speaker_follower_tpu.agents import state_factored_fused as sff
+
+    bank, tables, params, enc = world
+    host = sf.state_factored_search(params, tables, enc, bank, **kw)
+    fused = sff.state_factored_search_fused(params, tables, enc, bank, **kw)
+    for hl, fl in zip(host[1], fused[1]):
+        hk = [((h.node, h.heading, h.elev), round(h.score, 4)) for h in hl]
+        fk = [((h.node, h.heading, h.elev), round(h.score, 4)) for h in fl]
+        assert hk == fk
+    for ht, ft in zip(host[2], fused[2]):
+        assert [(h.node, h.heading, h.elev) for h in ht] == \
+            [(h.node, h.heading, h.elev) for h in ft]

@@ -371,6 +371,8 @@ class SpeakerTrainer:
         cfg = self.cfg
 
         def loss_fn(params, gold, instr_seq, unroll_len, rng):
+            # (no use_pallas here: the fused kernel is follower pano
+            # attention; the speaker's per-step visual attention differs)
             out = sa.score_instructions(
                 params, gold, instr_seq, rng,
                 feedback="teacher",
@@ -380,8 +382,6 @@ class SpeakerTrainer:
                 dropout_ratio=cfg.dropout_ratio,
                 use_glove=cfg.use_glove,
                 compute_dtype=cfg.compute_dtype,
-                use_pallas=cfg.use_pallas,
-                pallas_interpret=cfg.pallas_interpret,
             )
             return out.loss
 

@@ -279,3 +279,21 @@ def test_fused_matches_host_across_configs(world, kw):
     for ht, ft in zip(host[2], fused[2]):
         assert [(h.node, h.heading, h.elev) for h in ht] == \
             [(h.node, h.heading, h.elev) for h in ft]
+
+
+def test_fused_overflow_and_truncation_warn(world):
+    from speaker_follower_tpu.agents import state_factored_fused as sff
+
+    bank, tables, params, enc = world
+    with pytest.warns(UserWarning, match="table overflow"):
+        sff.state_factored_search_fused(
+            params, tables, enc, bank,
+            completion_size=5, successor_size=5, episode_len=10,
+            table_capacity=8,
+        )
+    with pytest.warns(UserWarning, match="truncated at max_rounds"):
+        sff.state_factored_search_fused(
+            params, tables, enc, bank,
+            completion_size=10, successor_size=1, episode_len=10,
+            max_rounds=2,
+        )

@@ -297,3 +297,40 @@ def test_fused_overflow_and_truncation_warn(world):
             completion_size=10, successor_size=1, episode_len=10,
             max_rounds=2,
         )
+
+
+def test_fused_search_data_parallel_mesh(world):
+    """The fused search program shards over a data-parallel mesh: batch
+    instances are independent, so running it with episode rows sharded
+    across the 8-device virtual mesh must reproduce single-device
+    results (the while_loop reductions psum across shards)."""
+    from speaker_follower_tpu.agents import state_factored_fused as sff
+    from speaker_follower_tpu.parallel import mesh as pm
+
+    bank, tables, params, enc = world
+    kw = dict(completion_size=4, successor_size=2, episode_len=10)
+    single = sff.state_factored_search_fused(params, tables, enc, bank, **kw)
+
+    mesh = pm.make_mesh()
+    params_r = pm.replicate(mesh, params)
+    tables_r = type(tables)(*[
+        jax.device_put(x, pm.replicated(mesh)) for x in tables
+    ])
+    keys = ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
+    enc_s = dict(enc)
+    # pad 4 -> 8 instances so the batch splits across the mesh
+    import numpy as _np
+    for k in keys:
+        v = _np.asarray(enc[k])
+        enc_s[k] = _np.concatenate([v, v], axis=0)
+    enc_s["instr_id"] = list(enc["instr_id"]) * 2
+    enc_s["item"] = list(enc["item"]) * 2
+    sharded = pm.shard_batch(mesh, {k: enc_s[k] for k in keys})
+    enc_s.update(sharded)
+    out = sff.state_factored_search_fused(params_r, tables_r, enc_s, bank, **kw)
+
+    for i in range(4):
+        want = [((h.node, h.heading, h.elev), round(h.score, 4)) for h in single[1][i]]
+        for j in (i, i + 4):  # both copies of the instance
+            got = [((h.node, h.heading, h.elev), round(h.score, 4)) for h in out[1][j]]
+            assert got == want

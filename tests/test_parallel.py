@@ -275,3 +275,31 @@ def test_follower_trainer_on_2d_mesh(world):
     assert 1 in specs, "no param leaf is model-sharded on the 2-D mesh"
     l_tp = tr_tp.train_interval(3)
     np.testing.assert_allclose(l_dp, l_tp, rtol=1e-4)
+
+
+def test_speaker_trainer_on_2d_mesh(world):
+    """SpeakerTrainer on the (4, 2) TP+DP mesh runs and model-shards."""
+    from speaker_follower_tpu.data.dataset import R2RDataset
+    from speaker_follower_tpu.data.text import Tokenizer
+    from speaker_follower_tpu.models.speaker import init_speaker
+    from speaker_follower_tpu.training.trainer import SpeakerTrainer, TrainConfig
+
+    vocab, ds, bank, tables, _ = world
+    params = init_speaker(
+        jax.random.PRNGKey(1), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT + 128, feature_size=FEAT + 128,
+    )
+    tok = Tokenizer(vocab=vocab)
+    d = R2RDataset(["sub_val_seen"], tokenizer=tok, batch_size=8, seed=4)
+    d.data = [x for x in d.data if x["scan"] in set(bank.scan_ids)]
+    cfg = TrainConfig(feedback="teacher", use_glove=False, no_save=True,
+                      max_instruction_length=40)
+    tr = SpeakerTrainer(params, tables, d, bank, cfg,
+                        rng=jax.random.PRNGKey(2), mesh=pm.make_mesh2(model=2))
+    specs = {
+        len(getattr(leaf.sharding, "spec", ()))
+        for leaf in jax.tree_util.tree_leaves(tr.params)
+    }
+    assert 1 in specs
+    losses = tr.train_interval(2)
+    assert all(np.isfinite(losses))

@@ -76,6 +76,11 @@ def add_common_args(parser: argparse.ArgumentParser):
         "over all visible devices and column-shard the weight matrices "
         "(implies data parallelism over the remaining factor)",
     )
+    parser.add_argument(
+        "--profile_dir", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the first post-warmup "
+        "training interval into DIR (open with tensorboard/xprof)",
+    )
     parser.add_argument("--snapshot_dir", default=paths.SNAPSHOT_DIR)
     parser.add_argument("--result_dir", default=paths.RESULT_DIR)
     parser.add_argument("--plot_dir", default=paths.PLOT_DIR)
@@ -177,6 +182,7 @@ def make_train_config(args, model_prefix, feedback="sample", use_glove=True):
         use_glove=use_glove,
         compute_dtype="bfloat16" if args.bfloat16_compute else None,
         use_pallas=getattr(args, "pallas", False),
+        profile_dir=getattr(args, "profile_dir", None),
         no_save=args.no_save,
         snapshot_dir=args.snapshot_dir,
         result_dir=args.result_dir,

@@ -59,6 +59,9 @@ class TrainConfig:
     # everywhere).  Applied to both the train step and eval rollouts.
     use_pallas: bool = False
     pallas_interpret: bool = False  # CPU-testing escape hatch
+    # jax.profiler trace dir: captures the SECOND training interval (the
+    # first is compile+warmup) on both trainers.  None = off.
+    profile_dir: str | None = None
 
 
 def _device_batch(enc):
@@ -211,7 +214,17 @@ class FollowerTrainer:
             interval = min(log_every, n_iters - idx)
             it = idx + interval
             self.data_log["iteration"].append(it)
-            losses = self.train_interval(interval)
+            # profile the 2nd interval (warm) or the only one there is
+            profile_now = cfg.profile_dir is not None and (
+                idx == log_every or (idx == 0 and n_iters <= log_every)
+            )
+            if profile_now:
+                from ..utils.profiling import xla_trace
+
+                with xla_trace(cfg.profile_dir):
+                    losses = self.train_interval(interval)
+            else:
+                losses = self.train_interval(interval)
             train_loss_avg = float(np.mean(losses))
             self.data_log["train loss"].append(train_loss_avg)
             loss_str = "train loss: %.4f" % train_loss_avg
@@ -463,7 +476,17 @@ class SpeakerTrainer:
             interval = min(log_every, n_iters - idx)
             it = idx + interval
             self.data_log["iteration"].append(it)
-            losses = self.train_interval(interval)
+            # profile the 2nd interval (warm) or the only one there is
+            profile_now = cfg.profile_dir is not None and (
+                idx == log_every or (idx == 0 and n_iters <= log_every)
+            )
+            if profile_now:
+                from ..utils.profiling import xla_trace
+
+                with xla_trace(cfg.profile_dir):
+                    losses = self.train_interval(interval)
+            else:
+                losses = self.train_interval(interval)
             train_loss_avg = float(np.mean(losses))
             self.data_log["train loss"].append(train_loss_avg)
             loss_str = "train loss: %.4f" % train_loss_avg

@@ -228,3 +228,30 @@ class TestNpzFormat:
         a = tr.train_interval(1)
         b = tr2.train_interval(1)
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_convert_cli_script(tmp_path, monkeypatch):
+    """scripts/convert_torch_checkpoint.py: torch pair -> loadable npz."""
+    import os
+    import runpy
+    import sys
+
+    from speaker_follower_tpu.training.checkpoint import load_params
+
+    enc, dec = _follower_state_dicts()
+    enc_p, dec_p = str(tmp_path / "f_enc"), str(tmp_path / "f_dec")
+    torch.save(enc, enc_p)
+    torch.save(dec, dec_p)
+    out = str(tmp_path / "follower.npz")
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "convert_torch_checkpoint.py",
+    )
+    monkeypatch.setattr(sys, "argv", [script, "follower", enc_p, dec_p, out])
+    runpy.run_path(script, run_name="__main__")
+    params = load_params(out)
+    assert "encoder" in params and "decoder" in params
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["lstm"]["w_hh"]),
+        dec["lstm.weight_hh"].numpy(), atol=1e-6,
+    )

@@ -120,12 +120,18 @@ def generate_candidates(
     }
     if state_factored:
         if fused:
+            from ..agents.state_factored import _retry_transient
             from ..agents.state_factored_fused import state_factored_search_fused
 
-            search = state_factored_search_fused
-        else:
-            search = sf.state_factored_search
-        candidates, completed, traversed = search(
+            # the fused search is ONE stateless dispatch: on a transient
+            # backend error the whole program safely reruns
+            return _retry_transient(lambda: state_factored_search_fused(
+                follower_params, tables, enc, graph_bank,
+                completion_size=beam_size, successor_size=1,
+                episode_len=episode_len, first_n_ws_key=state_first_n_ws_key,
+                use_glove=use_glove,
+            ))
+        candidates, completed, traversed = sf.state_factored_search(
             follower_params, tables, enc, graph_bank,
             completion_size=beam_size, successor_size=1,
             episode_len=episode_len, first_n_ws_key=state_first_n_ws_key,

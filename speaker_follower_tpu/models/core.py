@@ -64,7 +64,15 @@ def lstm_cell_init(key, in_dim, hidden, dtype=jnp.float32):
 
 def lstm_cell(p, x, h, c):
     """One LSTMCell step, torch gate order (i, f, g, o)."""
-    gates = x @ p["w_ih"].T + h @ p["w_hh"].T + p["b_ih"] + p["b_hh"]
+    return _lstm_gates(p, x @ p["w_ih"].T + p["b_ih"] + p["b_hh"], h, c)
+
+
+def _lstm_gates(p, xg, h, c):
+    """LSTM step from a precomputed input projection ``xg`` = x W_ih^T +
+    biases.  Hoisting the input projection out of lax.scan turns L small
+    per-step matmuls into ONE (B*L, in)x(in, 4H) MXU matmul — a rewrite
+    XLA does not do across scan iterations."""
+    gates = xg + h @ p["w_hh"].T
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -78,13 +86,15 @@ def lstm_cell(p, x, h, c):
 def lstm_scan(p, xs, h0, c0, reverse: bool = False):
     """Run an LSTM over time axis 1 of xs (B, L, D) -> outputs (B, L, H)."""
 
-    def step(carry, x):
+    def step(carry, xg):
         h, c = carry
-        h1, c1 = lstm_cell(p, x, h, c)
+        h1, c1 = _lstm_gates(p, xg, h, c)
         return (h1, c1), h1
 
-    xs_t = jnp.swapaxes(xs, 0, 1)  # (L, B, D)
-    (h_f, c_f), out = jax.lax.scan(step, (h0, c0), xs_t, reverse=reverse)
+    xg = xs @ p["w_ih"].T + p["b_ih"] + p["b_hh"]  # (B, L, 4H), one matmul
+    (h_f, c_f), out = jax.lax.scan(
+        step, (h0, c0), jnp.swapaxes(xg, 0, 1), reverse=reverse
+    )
     return jnp.swapaxes(out, 0, 1), (h_f, c_f)
 
 
@@ -105,15 +115,17 @@ def masked_lstm_scan(p, xs, lengths, h0, c0, reverse: bool = False):
 
     def step(carry, inp):
         h, c = carry
-        x, v = inp  # (B, D), (B,)
-        h1, c1 = lstm_cell(p, x, h, c)
+        xg, v = inp  # (B, 4H), (B,)
+        h1, c1 = _lstm_gates(p, xg, h, c)
         h1 = jnp.where(v[:, None], h1, h)
         c1 = jnp.where(v[:, None], c1, c)
         return (h1, c1), jnp.where(v[:, None], h1, 0.0)
 
-    xs_t = jnp.swapaxes(xs, 0, 1)
+    xg = xs @ p["w_ih"].T + p["b_ih"] + p["b_hh"]  # (B, L, 4H), one matmul
     valid_t = jnp.swapaxes(valid, 0, 1)
-    (h_f, c_f), out = jax.lax.scan(step, (h0, c0), (xs_t, valid_t), reverse=reverse)
+    (h_f, c_f), out = jax.lax.scan(
+        step, (h0, c0), (jnp.swapaxes(xg, 0, 1), valid_t), reverse=reverse
+    )
     return jnp.swapaxes(out, 0, 1), (h_f, c_f)
 
 

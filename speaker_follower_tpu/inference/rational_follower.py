@@ -124,8 +124,10 @@ def generate_candidates(
             from ..agents.state_factored_fused import state_factored_search_fused
 
             # the fused search is ONE stateless dispatch: on a transient
-            # backend error the whole program safely reruns
-            return _retry_transient(lambda: state_factored_search_fused(
+            # backend error the whole program safely reruns.  Backend
+            # worker restarts take minutes, so back off patiently
+            # (observed 2026-08-16: worker up again ~5 min after a crash).
+            return _retry_transient(attempts=6, base_delay=45.0, fn=lambda: state_factored_search_fused(
                 follower_params, tables, enc, graph_bank,
                 completion_size=beam_size, successor_size=1,
                 episode_len=episode_len, first_n_ws_key=state_first_n_ws_key,

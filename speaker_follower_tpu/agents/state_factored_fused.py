@@ -471,13 +471,60 @@ def state_factored_search_fused(
     max_rounds: int = 100,
     table_capacity: int = 1024,
     use_glove: bool = True,
+    max_device_batch: int | None = 16,
 ):
     """Drop-in for state_factored.state_factored_search, one device call.
 
     Returns (candidates, completed_lists, traversed) in the host format
     (Hyp objects rebuilt from the device trajectory tables, so
     ``physical_trajectory`` works unchanged).
+
+    ``max_device_batch``: XLA compile time of the search program grows
+    superlinearly with the instance count (observed on TPU v5e: 10 s at
+    B=16, 130 s at B=24, backend-killing at B=32).  Batches larger than
+    this are dispatched as fixed-shape chunks — every chunk padded to
+    exactly ``max_device_batch`` (repeating row 0), so the program
+    compiles ONCE and is reused; padded rows are dropped on the host.
+    None disables chunking.
     """
+    b_total = len(np.asarray(batch["scan"]))
+    if max_device_batch is not None and b_total > max_device_batch:
+        array_keys = [
+            "scan", "start_node", "goal_node", "heading",
+            "seq", "seq_mask", "seq_length",
+        ]
+        all_c, all_comp, all_trav = [], [], []
+        for c0 in range(0, b_total, max_device_batch):
+            c1 = min(c0 + max_device_batch, b_total)
+            pad = max_device_batch - (c1 - c0)
+            chunk = {}
+            for k, v in batch.items():
+                if k in array_keys:
+                    v = np.asarray(v)
+                    part = v[c0:c1]
+                    if pad:
+                        part = np.concatenate(
+                            [part, np.repeat(part[:1], pad, axis=0)], axis=0
+                        )
+                    chunk[k] = part
+                elif isinstance(v, (list, tuple)):
+                    part = list(v[c0:c1])
+                    chunk[k] = part + [part[0]] * pad
+                else:
+                    chunk[k] = v
+            cands, comps, travs = state_factored_search_fused(
+                params, tables, chunk, graph_bank,
+                completion_size=completion_size,
+                successor_size=successor_size,
+                episode_len=episode_len, first_n_ws_key=first_n_ws_key,
+                max_rounds=max_rounds, table_capacity=table_capacity,
+                use_glove=use_glove, max_device_batch=None,
+            )
+            all_c.extend(cands[: c1 - c0])
+            all_comp.extend(comps[: c1 - c0])
+            all_trav.extend(travs[: c1 - c0])
+        return all_c, all_comp, all_trav
+
     st = _search_program(
         params, tables,
         jnp.asarray(batch["seq"]), jnp.asarray(batch["seq_length"]),

@@ -334,3 +334,29 @@ def test_fused_search_data_parallel_mesh(world):
         for j in (i, i + 4):  # both copies of the instance
             got = [((h.node, h.heading, h.elev), round(h.score, 4)) for h in out[1][j]]
             assert got == want
+
+
+def test_fused_chunked_dispatch_matches_unchunked(world):
+    """max_device_batch chunks the fused search into fixed-shape padded
+    dispatches (compile-time control on the real backend); results must be
+    identical to the single-dispatch program, padding rows dropped."""
+    from speaker_follower_tpu.agents import state_factored_fused as sff
+
+    bank, tables, params, enc = world
+    kw = dict(completion_size=4, successor_size=2, episode_len=10)
+    whole = sff.state_factored_search_fused(
+        params, tables, enc, bank, max_device_batch=None, **kw
+    )
+    chunked = sff.state_factored_search_fused(
+        params, tables, enc, bank, max_device_batch=3, **kw
+    )
+    assert len(chunked[0]) == len(whole[0]) == 4
+    for wc, cc in zip(whole[0], chunked[0]):
+        assert [(c["instr_id"], c["trajectory"], round(c["score"], 4)) for c in wc] == \
+            [(c["instr_id"], c["trajectory"], round(c["score"], 4)) for c in cc]
+    for wl, cl in zip(whole[1], chunked[1]):
+        assert [((h.node, h.heading, h.elev), round(h.score, 4)) for h in wl] == \
+            [((h.node, h.heading, h.elev), round(h.score, 4)) for h in cl]
+    for wt, ct in zip(whole[2], chunked[2]):
+        assert [(h.node, h.heading, h.elev) for h in wt] == \
+            [(h.node, h.heading, h.elev) for h in ct]

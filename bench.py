@@ -190,12 +190,15 @@ def main():
         os.environ.get("BENCH_COMPUTE", "f32")
     ]
 
+    use_remat = os.environ.get("BENCH_REMAT", "0") == "1"
+
     def loss_fn(p, t, b, k):
         return rollout(
             p, t, b, k,
             feedback="sample", episode_len=EPISODE_LEN,
             deterministic=False, dropout_ratio=0.5,
             compute_dtype=compute_dtype, use_pallas=train_pallas,
+            remat=use_remat,
         ).loss
 
     # tables/batch are ARGUMENTS, never closures: closed-over device arrays

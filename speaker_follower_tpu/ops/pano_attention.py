@@ -106,12 +106,17 @@ def fused_pano_attention(
     v_loc,  # (B, 128) float32: W_v_loc^T (W_h h + b_h)
     bias,  # (B,) float32: b_v . (W_h h + b_h)
     *,
-    block_b: int = 8,
+    block_b: int | None = None,
     interpret: bool = False,
 ):
-    """Returns (weighted (B, D+128) f32, attn (B, 36) f32)."""
+    """Returns (weighted (B, D+128) f32, attn (B, 36) f32).
+
+    ``block_b`` None picks the largest of 8/4/2/1 dividing the batch
+    (8 when it divides; smaller tiles keep odd batch sizes working)."""
     b = gnode.shape[0]
     d = features.shape[-1]
+    if block_b is None:
+        block_b = next(bb for bb in (8, 4, 2, 1) if b % bb == 0)
     assert b % block_b == 0, f"batch {b} must be a multiple of block_b={block_b}"
     assert features.shape[1] == PADDED_VIEWS, (
         "pass a view-padded bank (pad_views_for_pallas)"
@@ -168,7 +173,7 @@ def fused_pano_attention(
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def pano_attention(
     features, loc_table, gnode, view_index, v_feat, v_loc, bias,
-    block_b=8, interpret=False,
+    block_b=None, interpret=False,
 ):
     """Differentiable wrapper: fused Pallas forward, XLA backward.
 

@@ -169,3 +169,25 @@ def test_bfloat16_compute_matches_f32_closely(world):
     for leaf in jax.tree_util.tree_leaves(grads):
         assert leaf.dtype == jnp.float32
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_remat_rollout_matches_exactly(world):
+    """remat=True (jax.checkpoint around the scan body) must change only
+    peak memory, never values: loss, trajectory, and gradients identical
+    to the non-remat program (same PRNG stream is replayed in the
+    recompute)."""
+    ds, bank, tables, params = world
+    enc = encode_batch(ds.next_minibatch(), bank)
+    batch = _device_batch(enc)
+    rng = jax.random.PRNGKey(7)
+
+    def loss(p, remat):
+        return ra.rollout(p, tables, batch, rng, feedback="sample",
+                          episode_len=EP_LEN, deterministic=False,
+                          dropout_ratio=0.5, remat=remat).loss
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

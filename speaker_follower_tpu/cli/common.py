@@ -71,6 +71,12 @@ def add_common_args(parser: argparse.ArgumentParser):
         "rollouts (train + eval; pads the feature bank views 36->40)",
     )
     parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize rollout activations in the backward pass "
+        "(jax.checkpoint): ~10x lower peak activation memory for very "
+        "large episode batches, identical values",
+    )
+    parser.add_argument(
         "--model_parallel", type=int, default=1, metavar="N",
         help="tensor-parallel degree: build a 2-D (data, model=N) mesh "
         "over all visible devices and column-shard the weight matrices "
@@ -182,6 +188,7 @@ def make_train_config(args, model_prefix, feedback="sample", use_glove=True):
         use_glove=use_glove,
         compute_dtype="bfloat16" if args.bfloat16_compute else None,
         use_pallas=getattr(args, "pallas", False),
+        remat=getattr(args, "remat", False),
         profile_dir=getattr(args, "profile_dir", None),
         no_save=args.no_save,
         snapshot_dir=args.snapshot_dir,

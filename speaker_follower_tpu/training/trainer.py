@@ -59,6 +59,11 @@ class TrainConfig:
     # everywhere).  Applied to both the train step and eval rollouts.
     use_pallas: bool = False
     pallas_interpret: bool = False  # CPU-testing escape hatch
+    # jax.checkpoint around the rollout step: recompute activations in
+    # the backward pass instead of storing episode_len of them — for
+    # very large episode batches (e.g. 4096 full-dim) that otherwise
+    # exceed HBM.  Values are bit-identical (tests/test_rollout.py).
+    remat: bool = False
     # jax.profiler trace dir: captures the SECOND training interval (the
     # first is compile+warmup) on both trainers.  None = off.
     profile_dir: str | None = None
@@ -145,6 +150,7 @@ class FollowerTrainer:
                 compute_dtype=cfg.compute_dtype,
                 use_pallas=cfg.use_pallas,
                 pallas_interpret=cfg.pallas_interpret,
+                remat=cfg.remat,
             )
             return out.loss
 

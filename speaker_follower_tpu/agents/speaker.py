@@ -95,6 +95,7 @@ class SpeakerOutput(NamedTuple):
         "use_glove",
         "use_input_att_feed",
         "compute_dtype",
+        "remat",
     ),
 )
 def score_instructions(
@@ -111,12 +112,14 @@ def score_instructions(
     use_glove: bool = True,
     use_input_att_feed: bool = False,
     compute_dtype: str | None = None,
+    remat: bool = False,
 ) -> SpeakerOutput:
     """Teacher/argmax/sample decode with NLL loss
     (speaker.py:123-202 _score_obs_actions_and_instructions).
 
     ``compute_dtype="bfloat16"``: mixed precision — matmuls in bf16,
-    softmax/NLL in f32 (see agents/rollout.py).
+    softmax/NLL in f32 (see agents/rollout.py).  ``remat``: recompute
+    per-word activations in the backward pass (see agents/rollout.py).
     """
     if compute_dtype is not None:
         cd = jnp.dtype(compute_dtype)
@@ -185,6 +188,8 @@ def score_instructions(
         new_ended = ended | (w_next == EOS_IDX)
         return (w_next, h1, c1, new_ended, rng), (w_next, w_logp, live, loss_t)
 
+    if remat:
+        step_fn = jax.checkpoint(step_fn)
     (_, _, _, _, _), (words, w_scores, live, losses) = jax.lax.scan(
         step_fn,
         (w0, h_t, c_t, ended0, rng),

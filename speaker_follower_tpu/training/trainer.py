@@ -397,6 +397,7 @@ class SpeakerTrainer:
                 feedback="teacher",
                 instruction_len=cfg.max_instruction_length,
                 unroll_len=unroll_len,
+                remat=cfg.remat,
                 deterministic=False,
                 dropout_ratio=cfg.dropout_ratio,
                 use_glove=cfg.use_glove,

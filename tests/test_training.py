@@ -255,3 +255,38 @@ def test_pallas_trainer_matches_xla(world):
     l_xla = losses(tables, False)
     l_pallas = losses(tables_padded, True)
     np.testing.assert_allclose(l_xla, l_pallas, rtol=2e-4)
+
+
+def test_speaker_remat_matches_exactly(world):
+    """Speaker score_instructions with remat=True: identical loss/grads."""
+    import jax.numpy as jnp
+
+    from speaker_follower_tpu.agents import speaker as sa
+    from speaker_follower_tpu.data.dataset import encode_batch
+
+    vocab, tok, ds, bank, tables = world
+    params = init_speaker(
+        jax.random.PRNGKey(1), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    enc = encode_batch(ds.next_minibatch(), bank, max_instruction_length=40,
+                       reverse_instructions=False)
+    db = {k: jnp.asarray(enc[k])
+          for k in ["scan", "start_node", "goal_node", "heading"]}
+    gold = sa.gold_rollout(tables, db, episode_len=10)
+    instr_seq = jnp.asarray(enc["seq"])
+    rng = jax.random.PRNGKey(3)
+
+    def loss(p, remat):
+        return sa.score_instructions(
+            p, gold, instr_seq, rng, feedback="teacher",
+            instruction_len=40, unroll_len=6, use_glove=False,
+            deterministic=False, dropout_ratio=0.5, remat=remat,
+        ).loss
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

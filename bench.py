@@ -9,6 +9,15 @@ feature TSV is download-only).  K train steps are chained inside one
 jitted lax.scan so tunnel dispatch cost is amortized and the number is
 device throughput.
 
+Default configuration (measured best on v5e, 2026-08-17): batch 2048,
+bf16 matmuls / f32 softmax+loss+Adam (mixed precision — the TPU-native
+training mode; parity-tested in tests/test_rollout.py).  Overridables:
+BENCH_BATCH, BENCH_COMPUTE=f32|bf16, BENCH_REMAT=1 (activation
+rematerialization: fits batch 4096 but the recompute costs more than the
+amortization buys), BENCH_SKIP_INFERENCE=1, BENCH_TRAIN_PALLAS=1.
+Measured sweep (train eps/s): 1024/f32 6585, 1024/bf16 8443, 2048/bf16
+9994, 4096/bf16 OOM, 4096/bf16+remat 8117.
+
 Baseline: the reference publishes one wall-clock figure — 50k training
 iterations at batch 100 in ~50 hours on a single GPU (README.md:101), i.e.
 ~27.8 episodes/sec through its C++-sim + PyTorch training pipeline.  That
@@ -37,7 +46,7 @@ REFERENCE_EPISODES_PER_SEC = 50000 * 100 / (50 * 3600)  # ~27.78
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (MXU); f32 ops run below this
 PEAK_HBM_BW = 819e9  # TPU v5e HBM bandwidth
 
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 EPISODE_LEN = 10
 N_WARMUP = 3
 N_ITERS = int(os.environ.get("BENCH_ITERS", "50"))
@@ -67,7 +76,8 @@ def main():
     feats_bf16 = jax.random.normal(
         jax.random.PRNGKey(0), (bank.total_nodes, 36, FEAT_DIM), jnp.bfloat16
     )
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    skip_inference = os.environ.get("BENCH_SKIP_INFERENCE", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and not skip_inference
     tables = vecenv.make_env_tables(bank, feats_bf16, pad_views=use_pallas)
     sys.stderr.write(
         f"[bench] {len(scans)} scans, {bank.total_nodes} nodes, "
@@ -121,51 +131,54 @@ def main():
     )
 
     key = jax.random.PRNGKey(1)
+    if skip_inference:
+        sys.stderr.write("[bench] BENCH_SKIP_INFERENCE=1: train-step only\n")
     t0 = time.time()
-    try:
-        nodes, score = run(params, tables, batch, key)
-        np.asarray(nodes)  # block_until_ready returns early over the tunnel
-    except Exception as e:  # pallas remote-compile hiccup: fall back to XLA
-        if not use_pallas:
-            raise
-        sys.stderr.write(f"[bench] pallas path failed ({type(e).__name__}); "
-                         "falling back to XLA\n")
-        use_pallas = False
-        tables = vecenv.make_env_tables(bank, feats_bf16)
-        run = jax.jit(
-            lambda p, t, b, k: (
-                lambda o=rollout(
-                    p, t, b, k,
-                    feedback="argmax", episode_len=EPISODE_LEN,
-                    deterministic=True,
-                ): (o.nodes, o.score)
-            )()
-        )
-        nodes, score = run(params, tables, batch, key)
-        np.asarray(nodes)
-    sys.stderr.write(f"[bench] compile+first run {time.time() - t0:.1f}s\n")
+    if not skip_inference:
+      try:
+          nodes, score = run(params, tables, batch, key)
+          np.asarray(nodes)  # block_until_ready returns early over the tunnel
+      except Exception as e:  # pallas remote-compile hiccup: fall back to XLA
+          if not use_pallas:
+              raise
+          sys.stderr.write(f"[bench] pallas path failed ({type(e).__name__}); "
+                           "falling back to XLA\n")
+          use_pallas = False
+          tables = vecenv.make_env_tables(bank, feats_bf16)
+          run = jax.jit(
+              lambda p, t, b, k: (
+                  lambda o=rollout(
+                      p, t, b, k,
+                      feedback="argmax", episode_len=EPISODE_LEN,
+                      deterministic=True,
+                  ): (o.nodes, o.score)
+              )()
+          )
+          nodes, score = run(params, tables, batch, key)
+          np.asarray(nodes)
+      sys.stderr.write(f"[bench] compile+first run {time.time() - t0:.1f}s\n")
 
-    for _ in range(N_WARMUP - 1):
-        np.asarray(run(params, tables, batch, key)[0])
+      for _ in range(N_WARMUP - 1):
+          np.asarray(run(params, tables, batch, key)[0])
 
-    # pipelined dispatch, then fetch EVERY result: the only honest timing
-    # through the tunnel (block_until_ready under-reports)
-    t0 = time.time()
-    outs = [
-        run(params, tables, batch, jax.random.fold_in(key, i))
-        for i in range(N_ITERS)
-    ]
-    for nodes, score in outs:
-        np.asarray(nodes)
-        np.asarray(score)
-    dt = time.time() - t0
+      # pipelined dispatch, then fetch EVERY result: the only honest timing
+      # through the tunnel (block_until_ready under-reports)
+      t0 = time.time()
+      outs = [
+          run(params, tables, batch, jax.random.fold_in(key, i))
+          for i in range(N_ITERS)
+      ]
+      for nodes, score in outs:
+          np.asarray(nodes)
+          np.asarray(score)
+      dt = time.time() - t0
 
-    eps_per_sec = BATCH * N_ITERS / dt
-    sys.stderr.write(
-        f"[bench] {N_ITERS} x {BATCH} greedy episodes in {dt:.2f}s -> "
-        f"{eps_per_sec:.0f} eps/s INFERENCE (batch {BATCH}"
-        f"{', pallas' if use_pallas else ''}; not baseline-comparable)\n"
-    )
+      eps_per_sec = BATCH * N_ITERS / dt
+      sys.stderr.write(
+          f"[bench] {N_ITERS} x {BATCH} greedy episodes in {dt:.2f}s -> "
+          f"{eps_per_sec:.0f} eps/s INFERENCE (batch {BATCH}"
+          f"{', pallas' if use_pallas else ''}; not baseline-comparable)\n"
+      )
 
     # ---------------- train-step benchmark (the headline) ----------------
     # fwd (sample-feedback rollout) + bwd + Adam/wd, K steps chained in one
@@ -174,11 +187,14 @@ def main():
 
     from speaker_follower_tpu.training.optim import adam_with_torch_wd
 
-    train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "0") == "1" and use_pallas
-    if use_pallas and not train_pallas:
+    train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "0") == "1"
+    if train_pallas != use_pallas:
         # default trainer config is the XLA pano path; BENCH_TRAIN_PALLAS=1
         # benches the fused custom-VJP kernel in the train step instead
-        tables_train = vecenv.make_env_tables(bank, feats_bf16)
+        # (needs view-padded tables; the XLA path needs unpadded)
+        tables_train = vecenv.make_env_tables(
+            bank, feats_bf16, pad_views=train_pallas
+        )
     else:
         tables_train = tables
 
@@ -186,8 +202,10 @@ def main():
     opt_state = tx.init(params)
     k_steps = int(os.environ.get("BENCH_TRAIN_SCAN", "10"))
 
+    # bf16 matmuls on the MXU by default (f32 softmax/loss/Adam): the
+    # TPU-native training configuration; BENCH_COMPUTE=f32 for pure f32.
     compute_dtype = {"f32": None, "bf16": "bfloat16"}[
-        os.environ.get("BENCH_COMPUTE", "f32")
+        os.environ.get("BENCH_COMPUTE", "bf16")
     ]
 
     use_remat = os.environ.get("BENCH_REMAT", "0") == "1"
@@ -251,7 +269,7 @@ def main():
         mfu = flops_per_scan * n_scans / dt / PEAK_FLOPS
         results[train_batch_size] = train_eps
         sys.stderr.write(
-            f"[bench] {steps} {os.environ.get('BENCH_COMPUTE', 'f32')} "
+            f"[bench] {steps} {os.environ.get('BENCH_COMPUTE', 'bf16')} "
             f"train steps @ batch {train_batch_size} in "
             f"{dt:.2f}s -> {train_eps:.0f} eps/s, "
             f"~{flops_per_scan / k_steps / 1e9:.1f} GFLOP/step, "
@@ -272,7 +290,7 @@ def main():
                 "unit": "episodes/s/chip (fwd+bwd+Adam, sample feedback, "
                 "batch %d, 10-step, full-dim, %s compute; reference "
                 "trained at batch 100 = %.0f eps/s on this chip)"
-                % (BATCH, os.environ.get("BENCH_COMPUTE", "f32"), results[100]),
+                % (BATCH, os.environ.get("BENCH_COMPUTE", "bf16"), results[100]),
                 "vs_baseline": round(train_eps / REFERENCE_EPISODES_PER_SEC, 1),
             }
         )

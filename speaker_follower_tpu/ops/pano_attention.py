@@ -111,12 +111,24 @@ def fused_pano_attention(
 ):
     """Returns (weighted (B, D+128) f32, attn (B, 36) f32).
 
-    ``block_b`` None picks the largest of 8/4/2/1 dividing the batch
-    (8 when it divides; smaller tiles keep odd batch sizes working)."""
+    Mosaic requires the block batch dim divisible by 8, so batches that
+    are not multiples of ``block_b`` (default 8) are zero-padded up (the
+    padded rows re-gather row gnode[0]'s features and are sliced off)."""
     b = gnode.shape[0]
     d = features.shape[-1]
     if block_b is None:
-        block_b = next(bb for bb in (8, 4, 2, 1) if b % bb == 0)
+        block_b = 8
+    pad = (-b) % block_b
+    if pad:
+        padb = lambda x: jnp.concatenate(
+            [x, jnp.repeat(x[:1], pad, axis=0)], axis=0
+        )
+        w, a = fused_pano_attention(
+            features, loc_table, padb(gnode), padb(view_index),
+            padb(v_feat), padb(v_loc), padb(bias),
+            block_b=block_b, interpret=interpret,
+        )
+        return w[:b], a[:b]
     assert b % block_b == 0, f"batch {b} must be a multiple of block_b={block_b}"
     assert features.shape[1] == PADDED_VIEWS, (
         "pass a view-padded bank (pad_views_for_pallas)"

@@ -38,16 +38,33 @@ def test_fused_matches_reference(dtype):
     np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_ref), atol=1e-4)
 
 
-def test_fused_rejects_unaligned_batch():
-    features = pad_views_for_pallas(jnp.zeros((4, 36, 64)))
-    loc_table = jnp.zeros((36, 36, 128))
-    with pytest.raises(AssertionError):
-        fused_pano_attention(
-            features, loc_table,
-            jnp.zeros(7, jnp.int32), jnp.zeros(7, jnp.int32),
-            jnp.zeros((7, 64)), jnp.zeros((7, 128)), jnp.zeros(7),
-            block_b=8, interpret=True,
-        )
+def test_fused_pads_unaligned_batch():
+    """Batches not divisible by block_b (Mosaic needs the block batch dim
+    % 8 == 0) are zero-padded up and sliced back: batch 7 must equal the
+    reference math row for row."""
+    import numpy as np
+
+    from speaker_follower_tpu.ops.pano_attention import pano_attention_reference
+
+    k = jax.random.PRNGKey(0)
+    feats = jax.random.normal(k, (4, 36, 64))
+    features = pad_views_for_pallas(feats)
+    loc_table = jax.random.normal(k, (36, 36, 128))
+    gnode = jnp.array([0, 1, 2, 3, 1, 2, 0], jnp.int32)
+    view = jnp.array([0, 5, 35, 12, 7, 30, 1], jnp.int32)
+    v_feat = jax.random.normal(k, (7, 64))
+    v_loc = jax.random.normal(k, (7, 128))
+    bias = jax.random.normal(k, (7,))
+    w, a = fused_pano_attention(
+        features, loc_table, gnode, view, v_feat, v_loc, bias,
+        block_b=8, interpret=True,
+    )
+    w_ref, a_ref = pano_attention_reference(
+        feats, loc_table, gnode, view, v_feat, v_loc, bias
+    )
+    assert w.shape == (7, 64 + 128) and a.shape == (7, 36)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref), atol=1e-6)
 
 
 def test_pallas_rollout_matches_xla_rollout():

@@ -17,8 +17,10 @@ reduce-scatters itself (the scaling-book recipe: annotate, let XLA place
 collectives on ICI).  At h=512 this workload is data-parallel-bound, so
 TP is the framework capability for bigger models, not the default.
 
-For multi-host, ``jax.distributed.initialize()`` before building the mesh;
-the same annotations then span hosts (DCN between slices).
+For multi-host, call :func:`init_multihost` once per host process before
+building the mesh; the same annotations then span hosts (DCN between
+slices), and :func:`data_parallel_batch_slice` gives each host its shard
+of the global episode batch for per-host data loading.
 
 Pipeline/expert/sequence parallelism are deliberately absent: there are
 no pipeline stages worth the bubbles in a 2-LSTM seq2seq (episode len 10,
@@ -135,3 +137,68 @@ def pad_batch_to(batch_np: dict, size: int):
         else:
             out[k] = v
     return out, b
+
+
+_MULTIHOST_DECIDED = False
+
+
+def init_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> dict:
+    """Multi-host entry point: one call per host process BEFORE any other
+    JAX use, then build meshes over ``jax.devices()`` exactly as on one
+    host — the global device list spans all hosts, the same sharding
+    annotations apply, and XLA places intra-slice collectives on ICI and
+    inter-slice ones on DCN (the scaling-book recipe; SURVEY.md §2.4/§5.8
+    for why the reference has no analog).
+
+    With no arguments this uses cluster auto-detection (TPU pods populate
+    the coordinator from the metadata server); args pass straight through
+    to ``jax.distributed.initialize`` for manual clusters.
+
+    Returns a summary dict {process_id, num_processes, local_devices,
+    global_devices} for logging.  Idempotent: a second call is a no-op.
+    """
+    global _MULTIHOST_DECIDED
+    already = getattr(jax.distributed, "global_state", None)
+    clustered = already is not None and already.coordinator_address is not None
+    if not clustered and not _MULTIHOST_DECIDED:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        try:
+            jax.distributed.initialize(**kwargs)
+        except ValueError:
+            if kwargs:
+                raise
+            # no explicit args and no cluster detected (bare single
+            # process, e.g. CPU dev box): run unclustered
+            pass
+        _MULTIHOST_DECIDED = True
+    return {
+        "process_id": jax.process_index(),
+        "num_processes": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def data_parallel_batch_slice(global_batch_size: int):
+    """(start, size) of this host's slice of a globally-sharded episode
+    batch: with per-host data loading each process materializes only its
+    own shard and ``jax.make_array_from_process_local_data`` assembles the
+    global array.  Requires process_count | global_batch_size."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes"
+        )
+    per = global_batch_size // n
+    return jax.process_index() * per, per

@@ -311,3 +311,16 @@ def test_speaker_trainer_on_2d_mesh(world):
     assert 1 in specs
     losses = tr.train_interval(2)
     assert all(np.isfinite(losses))
+
+
+def test_multihost_helpers_single_process():
+    """init_multihost is a no-op summary on a single process; the batch
+    slice covers the whole batch."""
+    # NOTE: jax.distributed.initialize on a 1-process CPU backend is
+    # itself legal but mutates global state; only exercise the
+    # already-initialized/no-coordinator summary path and the slice math.
+    assert pm.data_parallel_batch_slice(64) == (0, 64)
+    assert pm.data_parallel_batch_slice(1) == (0, 1)
+    info = pm.init_multihost()
+    assert info["num_processes"] == 1
+    assert pm.init_multihost() == info  # idempotent

@@ -174,11 +174,12 @@ def init_multihost(
             kwargs["process_id"] = process_id
         try:
             jax.distributed.initialize(**kwargs)
-        except ValueError:
+        except (ValueError, RuntimeError):
             if kwargs:
                 raise
-            # no explicit args and no cluster detected (bare single
-            # process, e.g. CPU dev box): run unclustered
+            # no explicit args and either no cluster detected or the
+            # backend already initialized uncoordinated (bare single
+            # process, e.g. CPU dev box / test session): run unclustered
             pass
         _MULTIHOST_DECIDED = True
     return {

@@ -9,14 +9,17 @@ feature TSV is download-only).  K train steps are chained inside one
 jitted lax.scan so tunnel dispatch cost is amortized and the number is
 device throughput.
 
-Default configuration (measured best on v5e, 2026-08-17): batch 2048,
-bf16 matmuls / f32 softmax+loss+Adam (mixed precision — the TPU-native
-training mode; parity-tested in tests/test_rollout.py).  Overridables:
+Default configuration (measured sweep on v5e, 2026-08-17): batch 1408,
+pure f32 — the largest full-quality-mode batch that fits HBM (1536 misses
+by 48 MB).  bf16 mixed precision reaches ~10k eps/s at batch 2048 but the
+3000-iter sub-split quality run measured an ~8pt SR cost on this small
+LSTM (runs/README.md), so the headline stays f32.  Overridables:
 BENCH_BATCH, BENCH_COMPUTE=f32|bf16, BENCH_REMAT=1 (activation
-rematerialization: fits batch 4096 but the recompute costs more than the
-amortization buys), BENCH_SKIP_INFERENCE=1, BENCH_TRAIN_PALLAS=1.
-Measured sweep (train eps/s): 1024/f32 6585, 1024/bf16 8443, 2048/bf16
-9994, 4096/bf16 OOM, 4096/bf16+remat 8117.
+rematerialization: fits bigger batches but the recompute costs more than
+the amortization buys), BENCH_SKIP_INFERENCE=1, BENCH_TRAIN_PALLAS=1.
+Measured sweep (train eps/s): 1024/f32 6585, 1408/f32 7300, 2048/f32 OOM,
+2048/f32+remat 5764, 1024/bf16 8443, 2048/bf16 9994, 2048/bf16+pallas
+9791, 4096/bf16 OOM, 4096/bf16+remat 8117.
 
 Baseline: the reference publishes one wall-clock figure — 50k training
 iterations at batch 100 in ~50 hours on a single GPU (README.md:101), i.e.
@@ -46,7 +49,7 @@ REFERENCE_EPISODES_PER_SEC = 50000 * 100 / (50 * 3600)  # ~27.78
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (MXU); f32 ops run below this
 PEAK_HBM_BW = 819e9  # TPU v5e HBM bandwidth
 
-BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+BATCH = int(os.environ.get("BENCH_BATCH", "1408"))
 EPISODE_LEN = 10
 N_WARMUP = 3
 N_ITERS = int(os.environ.get("BENCH_ITERS", "50"))
@@ -191,7 +194,12 @@ def main():
     if train_pallas != use_pallas:
         # default trainer config is the XLA pano path; BENCH_TRAIN_PALLAS=1
         # benches the fused custom-VJP kernel in the train step instead
-        # (needs view-padded tables; the XLA path needs unpadded)
+        # (needs view-padded tables; the XLA path needs unpadded).  Free
+        # the inference bank FIRST: two ~1.8 GB banks alongside batch-1408
+        # f32 training activations exceed HBM.
+        tables = run = None
+        if not skip_inference:
+            outs = nodes = score = None
         tables_train = vecenv.make_env_tables(
             bank, feats_bf16, pad_views=train_pallas
         )
@@ -202,10 +210,12 @@ def main():
     opt_state = tx.init(params)
     k_steps = int(os.environ.get("BENCH_TRAIN_SCAN", "10"))
 
-    # bf16 matmuls on the MXU by default (f32 softmax/loss/Adam): the
-    # TPU-native training configuration; BENCH_COMPUTE=f32 for pure f32.
+    # f32 by default: the 3000-iter sub-split quality run showed bf16
+    # training costs ~8pt SR on this small LSTM (runs/README.md), so the
+    # headline is the full-quality mode.  BENCH_COMPUTE=bf16 measures the
+    # throughput mode (~10k eps/s at batch 2048).
     compute_dtype = {"f32": None, "bf16": "bfloat16"}[
-        os.environ.get("BENCH_COMPUTE", "bf16")
+        os.environ.get("BENCH_COMPUTE", "f32")
     ]
 
     use_remat = os.environ.get("BENCH_REMAT", "0") == "1"
@@ -269,7 +279,7 @@ def main():
         mfu = flops_per_scan * n_scans / dt / PEAK_FLOPS
         results[train_batch_size] = train_eps
         sys.stderr.write(
-            f"[bench] {steps} {os.environ.get('BENCH_COMPUTE', 'bf16')} "
+            f"[bench] {steps} {os.environ.get('BENCH_COMPUTE', 'f32')} "
             f"train steps @ batch {train_batch_size} in "
             f"{dt:.2f}s -> {train_eps:.0f} eps/s, "
             f"~{flops_per_scan / k_steps / 1e9:.1f} GFLOP/step, "
@@ -290,7 +300,7 @@ def main():
                 "unit": "episodes/s/chip (fwd+bwd+Adam, sample feedback, "
                 "batch %d, 10-step, full-dim, %s compute; reference "
                 "trained at batch 100 = %.0f eps/s on this chip)"
-                % (BATCH, os.environ.get("BENCH_COMPUTE", "bf16"), results[100]),
+                % (BATCH, os.environ.get("BENCH_COMPUTE", "f32"), results[100]),
                 "vs_baseline": round(train_eps / REFERENCE_EPISODES_PER_SEC, 1),
             }
         )

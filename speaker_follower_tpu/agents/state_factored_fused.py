@@ -468,7 +468,7 @@ def state_factored_search_fused(
     successor_size: int = 10,
     episode_len: int = 10,
     first_n_ws_key: int = 4,
-    max_rounds: int = 100,
+    max_rounds: int | None = None,
     table_capacity: int = 1024,
     use_glove: bool = True,
     max_device_batch: int | None = 16,
@@ -479,6 +479,12 @@ def state_factored_search_fused(
     (Hyp objects rebuilt from the device trajectory tables, so
     ``physical_trajectory`` works unchanged).
 
+    ``max_rounds`` None scales with the completion target:
+    max(100, 8 * completion_size) — with successor_size=1 each round
+    yields at most one completion per instance, so beam 40 needs well
+    over 100 rounds (the reference loops uncapped; the cap only sizes
+    the fixed selection-log buffer and the loop exits early when done).
+
     ``max_device_batch``: XLA compile time of the search program grows
     superlinearly with the instance count (observed on TPU v5e: 10 s at
     B=16, 130 s at B=24, backend-killing at B=32).  Batches larger than
@@ -487,6 +493,8 @@ def state_factored_search_fused(
     compiles ONCE and is reused; padded rows are dropped on the host.
     None disables chunking.
     """
+    if max_rounds is None:
+        max_rounds = max(100, 8 * completion_size)
     b_total = len(np.asarray(batch["scan"]))
     if max_device_batch is not None and b_total > max_device_batch:
         array_keys = [

@@ -9,11 +9,12 @@ feature TSV is download-only).  K train steps are chained inside one
 jitted lax.scan so tunnel dispatch cost is amortized and the number is
 device throughput.
 
-Default configuration (measured sweep on v5e, 2026-08-17): batch 1408,
-pure f32 — the largest full-quality-mode batch that fits HBM (1536 misses
-by 48 MB).  bf16 mixed precision reaches ~10k eps/s at batch 2048 but the
-3000-iter sub-split quality run measured an ~8pt SR cost on this small
-LSTM (runs/README.md), so the headline stays f32.  Overridables:
+Default configuration (measured sweep on v5e, 2026-08-17): batch 2048,
+bf16 mixed precision (bf16 matmuls, f32 softmax/loss/Adam) — controlled
+3000-iter quality runs show bf16 == f32 == pallas within run noise
+(runs/README.md), so the TPU-native mode is also full-quality.  In pure
+f32 the largest fitting batch is 1408 (1536 misses HBM by 48 MB).
+Overridables:
 BENCH_BATCH, BENCH_COMPUTE=f32|bf16, BENCH_REMAT=1 (activation
 rematerialization: fits bigger batches but the recompute costs more than
 the amortization buys), BENCH_SKIP_INFERENCE=1, BENCH_TRAIN_PALLAS=1.
@@ -49,7 +50,7 @@ REFERENCE_EPISODES_PER_SEC = 50000 * 100 / (50 * 3600)  # ~27.78
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (MXU); f32 ops run below this
 PEAK_HBM_BW = 819e9  # TPU v5e HBM bandwidth
 
-BATCH = int(os.environ.get("BENCH_BATCH", "1408"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 EPISODE_LEN = 10
 N_WARMUP = 3
 N_ITERS = int(os.environ.get("BENCH_ITERS", "50"))
@@ -210,12 +211,11 @@ def main():
     opt_state = tx.init(params)
     k_steps = int(os.environ.get("BENCH_TRAIN_SCAN", "10"))
 
-    # f32 by default: the 3000-iter sub-split quality run showed bf16
-    # training costs ~8pt SR on this small LSTM (runs/README.md), so the
-    # headline is the full-quality mode.  BENCH_COMPUTE=bf16 measures the
-    # throughput mode (~10k eps/s at batch 2048).
+    # bf16 mixed precision by default: the controlled 3000-iter quality
+    # runs (runs/README.md) show bf16 == f32 == pallas within noise, so
+    # the TPU-native mode is also the full-quality mode.
     compute_dtype = {"f32": None, "bf16": "bfloat16"}[
-        os.environ.get("BENCH_COMPUTE", "f32")
+        os.environ.get("BENCH_COMPUTE", "bf16")
     ]
 
     use_remat = os.environ.get("BENCH_REMAT", "0") == "1"
@@ -279,7 +279,7 @@ def main():
         mfu = flops_per_scan * n_scans / dt / PEAK_FLOPS
         results[train_batch_size] = train_eps
         sys.stderr.write(
-            f"[bench] {steps} {os.environ.get('BENCH_COMPUTE', 'f32')} "
+            f"[bench] {steps} {os.environ.get('BENCH_COMPUTE', 'bf16')} "
             f"train steps @ batch {train_batch_size} in "
             f"{dt:.2f}s -> {train_eps:.0f} eps/s, "
             f"~{flops_per_scan / k_steps / 1e9:.1f} GFLOP/step, "
@@ -300,7 +300,7 @@ def main():
                 "unit": "episodes/s/chip (fwd+bwd+Adam, sample feedback, "
                 "batch %d, 10-step, full-dim, %s compute; reference "
                 "trained at batch 100 = %.0f eps/s on this chip)"
-                % (BATCH, os.environ.get("BENCH_COMPUTE", "f32"), results[100]),
+                % (BATCH, os.environ.get("BENCH_COMPUTE", "bf16"), results[100]),
                 "vs_baseline": round(train_eps / REFERENCE_EPISODES_PER_SEC, 1),
             }
         )

@@ -26,6 +26,12 @@ def make_arg_parser():
     parser.add_argument(
         "--pred_splits", nargs="+", default=["data_augmentation_paths"]
     )
+    parser.add_argument(
+        "--pred_data_dir", default=None,
+        help="directory holding R2R_<split>.json for the pred splits "
+        "(e.g. the output of scripts/sample_augmentation_paths.py); "
+        "default: the standard data dir",
+    )
     parser.add_argument("--follower_model_prefix")
     parser.add_argument("--rational_speaker_weights", type=float, nargs="+")
     parser.add_argument("--rational_speaker_n_candidates", type=int, default=40)
@@ -37,9 +43,13 @@ def entry_point(args):
     vocab = read_vocab(common.resolve_vocab(args))
     tok = Tokenizer(vocab=vocab)
     # the pred splits define the scan set
-    probe = R2RDataset(args.pred_splits, tokenizer=None, batch_size=1)
+    probe = R2RDataset(
+        args.pred_splits, tokenizer=None, batch_size=1,
+        data_dir=args.pred_data_dir,
+    )
     datasets, bank, tables, feature_dim = common.build_world(
-        args, {s: s for s in args.pred_splits}, tok
+        args, {s: s for s in args.pred_splits}, tok,
+        data_dirs={s: args.pred_data_dir for s in args.pred_splits},
     )
     speaker_params = ckpt.load_params(args.speaker_model_prefix)
     follower_params = (
@@ -54,6 +64,7 @@ def entry_point(args):
         tok,
         args.pred_splits,
         args.pred_results_output_file,
+        data_dir=args.pred_data_dir,
         follower_params=follower_params,
         rational_speaker_weights=args.rational_speaker_weights,
         n_candidates=args.rational_speaker_n_candidates,

@@ -132,11 +132,15 @@ def load_glove(args, vocab):
     return out
 
 
-def build_world(args, splits, tokenizer):
-    """Graph bank + env tables + datasets for all given splits."""
+def build_world(args, splits, tokenizer, data_dirs=None):
+    """Graph bank + env tables + datasets for all given splits.
+
+    ``data_dirs``: optional {name: dir} overriding where a split's
+    R2R_<split>.json is read from (None entries use the default)."""
     datasets = {
         name: R2RDataset(
-            [split], tokenizer=tokenizer, batch_size=args.batch_size
+            [split], tokenizer=tokenizer, batch_size=args.batch_size,
+            data_dir=(data_dirs or {}).get(name),
         )
         for name, split in splits.items()
     }

@@ -17,7 +17,9 @@ f32 the largest fitting batch is 1408 (1536 misses HBM by 48 MB).
 Overridables:
 BENCH_BATCH, BENCH_COMPUTE=f32|bf16, BENCH_REMAT=1 (activation
 rematerialization: fits bigger batches but the recompute costs more than
-the amortization buys), BENCH_SKIP_INFERENCE=1, BENCH_TRAIN_PALLAS=1.
+the amortization buys), BENCH_SKIP_INFERENCE=0 (adds the Pallas greedy-
+inference phase — opt-in: its large-batch remote compile is minutes and
+occasionally kills the tunnel worker), BENCH_TRAIN_PALLAS=1.
 Measured sweep (train eps/s): 1024/f32 6585, 1408/f32 7300, 2048/f32 OOM,
 2048/f32+remat 5764, 1024/bf16 8443, 2048/bf16 9994, 2048/bf16+pallas
 9791, 4096/bf16 OOM, 4096/bf16+remat 8117.
@@ -80,7 +82,10 @@ def main():
     feats_bf16 = jax.random.normal(
         jax.random.PRNGKey(0), (bank.total_nodes, 36, FEAT_DIM), jnp.bfloat16
     )
-    skip_inference = os.environ.get("BENCH_SKIP_INFERENCE", "0") == "1"
+    # Inference phase is OPT-IN (BENCH_SKIP_INFERENCE=0): its large-batch
+    # Pallas compile is 1-12+ min over the tunnel (occasionally
+    # worker-killing), and the JSON headline is the train step anyway.
+    skip_inference = os.environ.get("BENCH_SKIP_INFERENCE", "1") == "1"
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and not skip_inference
     tables = vecenv.make_env_tables(bank, feats_bf16, pad_views=use_pallas)
     sys.stderr.write(

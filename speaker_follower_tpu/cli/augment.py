@@ -8,7 +8,6 @@
 
 from __future__ import annotations
 
-from ..data.dataset import R2RDataset
 from ..data.text import Tokenizer, read_vocab
 from ..inference.augmentation import augment_from_speaker
 from ..training import checkpoint as ckpt
@@ -42,11 +41,6 @@ def make_arg_parser():
 def entry_point(args):
     vocab = read_vocab(common.resolve_vocab(args))
     tok = Tokenizer(vocab=vocab)
-    # the pred splits define the scan set
-    probe = R2RDataset(
-        args.pred_splits, tokenizer=None, batch_size=1,
-        data_dir=args.pred_data_dir,
-    )
     datasets, bank, tables, feature_dim = common.build_world(
         args, {s: s for s in args.pred_splits}, tok,
         data_dirs={s: args.pred_data_dir for s in args.pred_splits},

@@ -172,7 +172,8 @@ def rollout(
                 t_proj @ w_v[:, :d_feat],
                 t_proj @ w_v[:, d_feat:],
                 t_proj @ p_v["linear_in_v"]["b"],
-                None,  # block_b: auto (largest of 8/4/2/1 dividing B)
+                None,  # block_b: None = block 8 (batch padded up by
+                       # repeating row 0, result sliced back to B)
                 pallas_interpret,
             )
 

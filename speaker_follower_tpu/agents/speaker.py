@@ -113,6 +113,7 @@ def score_instructions(
     use_input_att_feed: bool = False,
     compute_dtype: str | None = None,
     remat: bool = False,
+    encoder_valid_len=None,
 ) -> SpeakerOutput:
     """Teacher/argmax/sample decode with NLL loss
     (speaker.py:123-202 _score_obs_actions_and_instructions).
@@ -120,6 +121,10 @@ def score_instructions(
     ``compute_dtype="bfloat16"``: mixed precision — matmuls in bf16,
     softmax/NLL in f32 (see agents/rollout.py).  ``remat``: recompute
     per-word activations in the backward pass (see agents/rollout.py).
+    ``encoder_valid_len``: traced batch-max path length; reproduces the
+    reference's dynamic batch-max encoder unroll under a static
+    ``unroll_len`` (see speaker_encoder_apply) so callers need not sync
+    max(path_len) to the host to pick unroll_len.
     """
     if compute_dtype is not None:
         cd = jnp.dtype(compute_dtype)
@@ -135,6 +140,7 @@ def score_instructions(
         dropout_ratio=dropout_ratio,
         deterministic=deterministic,
         rng=enc_key,
+        valid_len=encoder_valid_len,
     )
     path_mask = gold.path_mask[:, :unroll_len]
 

@@ -38,13 +38,31 @@ EPISODE_LEN = 10
 def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument(
         "--image_feature_type",
-        choices=["none", "mean_pooled", "random"],
+        choices=["none", "mean_pooled", "random",
+                 "convolutional_attention", "bottom_up_attention"],
         default="mean_pooled",
-        help="'random' is a synthetic bank for smoke runs without the TSV",
+        help="'random' is a synthetic bank for smoke runs without the "
+        "TSV.  convolutional_attention / bottom_up_attention (flag parity "
+        "with reference env.py:318-325) are pooled into panorama banks "
+        "here — the reference's pano env raises NotImplementedError on "
+        "both (env.py:299-312)",
     )
     parser.add_argument(
         "--image_feature_datasets", nargs="+",
         choices=["imagenet", "places365"], default=["imagenet"],
+    )
+    # bottom-up / convolutional knobs (reference env.py:323-325)
+    parser.add_argument("--bottom_up_detections", type=int, default=20)
+    parser.add_argument(
+        "--bottom_up_detection_embedding_size", type=int, default=20,
+    )
+    parser.add_argument(
+        "--downscale_convolutional_features", action="store_true",
+    )
+    parser.add_argument(
+        "--bottom_up_cache_dir", default=paths.BOTTOM_UP_FEATURE_CACHE_DIR,
+        help="precomputed detection cache (scripts/cache_bottom_up.py "
+        "layout: {dir}/{scan}/d={k}.pkl)",
     )
     parser.add_argument("--data_root", default=paths.DATA_ROOT)
     parser.add_argument("--batch_size", type=int, default=BATCH_SIZE)
@@ -81,6 +99,12 @@ def add_common_args(parser: argparse.ArgumentParser):
         help="tensor-parallel degree: build a 2-D (data, model=N) mesh "
         "over all visible devices and column-shard the weight matrices "
         "(implies data parallelism over the remaining factor)",
+    )
+    parser.add_argument(
+        "--host_data", action="store_true",
+        help="disable the device-resident data pipeline: dispatch one "
+        "train step per iteration instead of one K-step scanned program "
+        "per interval (debugging / memory-constrained hosts)",
     )
     parser.add_argument(
         "--profile_dir", default=None, metavar="DIR",
@@ -161,6 +185,50 @@ def build_world(args, splits, tokenizer, data_dirs=None):
             (bank.total_nodes, 36, MEAN_POOLED_DIM),
             feat_dtype,
         )
+    elif args.image_feature_type == "convolutional_attention":
+        from ..data.features import ConvolutionalFeatureStore, conv_feature_bank
+
+        stores = [
+            paths.CONVOLUTIONAL_FEATURE_STORES[d]
+            for d in sorted(args.image_feature_datasets)
+        ]
+        missing = [s for s in stores if not os.path.isdir(s)]
+        if missing:
+            raise FileNotFoundError(
+                f"convolutional feature store(s) not found: {missing}; "
+                "run the precompute pipeline (pipeline/precompute.py "
+                "--feature_type convolutional) or use another "
+                "--image_feature_type"
+            )
+        store = ConvolutionalFeatureStore(
+            stores, split=True,
+            downscaled=args.downscale_convolutional_features,
+        )
+        feats = jnp.asarray(conv_feature_bank(store, bank), feat_dtype)
+    elif args.image_feature_type == "bottom_up_attention":
+        from ..data.bottom_up import (
+            BottomUpFeaturizer,
+            mean_pooled_from_bottom_up,
+        )
+
+        if not os.path.isdir(args.bottom_up_cache_dir):
+            raise FileNotFoundError(
+                f"bottom-up cache dir not found: {args.bottom_up_cache_dir}; "
+                "build it with scripts/cache_bottom_up.py or use another "
+                "--image_feature_type"
+            )
+        featurizer = BottomUpFeaturizer(
+            args.bottom_up_detections,
+            paths.VG_OBJECT_VOCAB,
+            paths.VG_ATTRIBUTE_VOCAB,
+            precomputed_cache_dir=args.bottom_up_cache_dir,
+        )
+        feats = jnp.asarray(
+            mean_pooled_from_bottom_up(
+                featurizer.build_packed_bank(bank)
+            ),
+            feat_dtype,
+        )
     else:
         stores = [
             paths.MEAN_POOLED_FEATURE_STORES[d]
@@ -183,6 +251,16 @@ def build_world(args, splits, tokenizer, data_dirs=None):
 def feature_name(args):
     if args.image_feature_type == "mean_pooled":
         return "+".join(sorted(args.image_feature_datasets)) + "_mean_pooled"
+    if args.image_feature_type == "convolutional_attention":
+        # ConvolutionalImageFeatures.get_name (env.py:424-428)
+        name = "+".join(sorted(args.image_feature_datasets))
+        name += "_convolutional_attention"
+        if args.downscale_convolutional_features:
+            name += "_downscale"
+        return name
+    if args.image_feature_type == "bottom_up_attention":
+        # BottomUpImageFeatures.get_name (env.py:582-583)
+        return "bottom_up_attention_d=%d" % args.bottom_up_detections
     return args.image_feature_type
 
 
@@ -194,6 +272,7 @@ def make_train_config(args, model_prefix, feedback="sample", use_glove=True):
         use_pallas=getattr(args, "pallas", False),
         remat=getattr(args, "remat", False),
         profile_dir=getattr(args, "profile_dir", None),
+        device_data=not getattr(args, "host_data", False),
         no_save=args.no_save,
         snapshot_dir=args.snapshot_dir,
         result_dir=args.result_dir,

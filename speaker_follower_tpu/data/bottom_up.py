@@ -313,6 +313,25 @@ class BottomUpFeaturizer:
         return bank
 
 
+def mean_pooled_from_bottom_up(bank: BottomUpViewpoint, dtype=np.float32):
+    """Reduce a packed detection bank to a panorama feature bank
+    (total_nodes, 36, 2048): cls_prob-weighted mean of each view's
+    detection features (padded detections carry cls_prob 0, so they drop
+    out; views with no detections stay zero).
+
+    The reference's panorama env raises NotImplementedError for
+    bottom_up features (tasks/R2R/env.py:299-305); this reduction makes
+    detection stores usable as drop-in pano features on TPU.
+    """
+    w = np.where(bank.no_object_mask, 0.0, bank.cls_prob)  # (n, 36, d)
+    denom = np.maximum(w.sum(axis=-1, keepdims=True), 1e-8)
+    pooled = np.einsum(
+        "nvd,nvdf->nvf", (w / denom).astype(np.float32),
+        bank.image_features.astype(np.float32),
+    )
+    return pooled.astype(dtype)
+
+
 def build_cache(featurizer, keys, out_path):
     """Aggregate per-viewpoint stores into one cache pickle mapping
     (scan, viewpoint) -> [36 x dict] (reference cache_bottom_up.py:1-24).

@@ -158,6 +158,46 @@ class ConvolutionalFeatureStore:
         return out
 
 
+def conv_feature_bank(
+    store: "ConvolutionalFeatureStore", graph_bank: GraphBank,
+    dtype=np.float32,
+):
+    """Pack a conv store into a panorama bank (total_nodes, 36, C) by
+    spatially mean-pooling each view's res5c map (C, H, W) -> (C,).
+
+    The reference's panorama env refuses convolutional features outright
+    (tasks/R2R/env.py:306-312 NotImplementedError); pooling the conv map
+    recovers exactly the mean-pooled pipeline's content (pool5 IS the
+    global average of res5c), so the TPU env can train from conv stores
+    without a separate TSV precompute pass.
+    """
+    n = graph_bank.total_nodes
+    sample = None
+    for scan_id in graph_bank.scan_ids:
+        g = graph_bank.graphs[scan_id]
+        for local_ix, vp in enumerate(g.node_ids):
+            if not g.included[local_ix]:
+                continue
+            sample = store.get_features(scan_id, vp, 0)
+            break
+        if sample is not None:
+            break
+    if sample is None:
+        raise ValueError("graph bank has no included viewpoints")
+    c = sample.shape[0]
+    bank = np.zeros((n, NUM_VIEWS, c), dtype)
+    for scan_id in graph_bank.scan_ids:
+        g = graph_bank.graphs[scan_id]
+        for local_ix, vp in enumerate(g.node_ids):
+            if not g.included[local_ix]:
+                continue
+            gi = graph_bank.global_index(scan_id, vp)
+            for v in range(NUM_VIEWS):
+                fm = store.get_features(scan_id, vp, v)
+                bank[gi, v] = fm.reshape(fm.shape[0], -1).mean(axis=1)
+    return bank
+
+
 def bottom_up_features(*args, **kwargs):
     """Bottom-up (Faster-RCNN detection) features.
 

@@ -58,10 +58,19 @@ def speaker_encoder_apply(
     dropout_ratio: float = 0.5,
     deterministic: bool = True,
     rng=None,
+    valid_len=None,
 ):
     """Returns (ctx (B, T, H), decoder_h0 (B, H), c (B, H)).
 
-    NOTE: no length masking on the unroll, by design (see module docstring).
+    NOTE: no per-item length masking on the unroll, by design (see module
+    docstring): the reference runs the LSTM through zero-padded steps up
+    to the BATCH max path length (_batch_observations_and_actions sizes
+    tensors to the batch max, speaker.py:68-121), so h_f depends on the
+    batch composition.  ``valid_len`` (a traced scalar) reproduces that
+    dynamic unroll under a static T: steps t >= valid_len leave (h, c)
+    unchanged — exactly what a shorter unroll would compute.  None = the
+    static T is the unroll (callers that already shrink-wrap T to the
+    batch max on the host).
     """
     b, t, _ = action_embeddings.shape
     hidden = p["lstm"]["w_hh"].shape[-1]
@@ -75,12 +84,16 @@ def speaker_encoder_apply(
 
     def step(carry, inp):
         h, c = carry
-        a_emb, w_feat, k = inp
+        a_emb, w_feat, k, t_ix = inp
         feature, _ = attn.visual_soft_dot(p["visual_attention"], h, w_feat)
         concat_input = jnp.concatenate([a_emb, feature], axis=-1)
         if rng is not None:
             concat_input = dropout(k, concat_input, dropout_ratio, deterministic)
         h1, c1 = lstm_cell(p["lstm"], concat_input, h, c)
+        if valid_len is not None:
+            upd = t_ix < valid_len
+            h1 = jnp.where(upd, h1, h)
+            c1 = jnp.where(upd, c1, c)
         return (h1, c1), h1
 
     (h_f, c_f), hs = jax.lax.scan(
@@ -90,6 +103,7 @@ def speaker_encoder_apply(
             jnp.swapaxes(action_embeddings, 0, 1),
             jnp.swapaxes(world_features, 0, 1),
             step_keys,
+            jnp.arange(t),
         ),
     )
     ctx = jnp.swapaxes(hs, 0, 1)  # (B, T, H)

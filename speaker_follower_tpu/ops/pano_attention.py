@@ -112,8 +112,9 @@ def fused_pano_attention(
     """Returns (weighted (B, D+128) f32, attn (B, 36) f32).
 
     Mosaic requires the block batch dim divisible by 8, so batches that
-    are not multiples of ``block_b`` (default 8) are zero-padded up (the
-    padded rows re-gather row gnode[0]'s features and are sliced off)."""
+    are not multiples of ``block_b`` (default 8) are padded up by
+    repeating row 0 (the padded rows re-gather row gnode[0]'s features
+    and are sliced off the result)."""
     b = gnode.shape[0]
     d = features.shape[-1]
     if block_b is None:

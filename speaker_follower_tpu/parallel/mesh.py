@@ -174,13 +174,22 @@ def init_multihost(
             kwargs["process_id"] = process_id
         try:
             jax.distributed.initialize(**kwargs)
-        except (ValueError, RuntimeError):
+        except (ValueError, RuntimeError) as e:
             if kwargs:
                 raise
             # no explicit args and either no cluster detected or the
             # backend already initialized uncoordinated (bare single
             # process, e.g. CPU dev box / test session): run unclustered
-            pass
+            # — but say so, in case a real pod's cluster auto-detection
+            # failed (silently training on 1/N of the data would be
+            # worse than the noise)
+            import sys
+
+            print(
+                "init_multihost: jax.distributed.initialize failed "
+                f"({type(e).__name__}: {e}); running single-process",
+                file=sys.stderr,
+            )
         _MULTIHOST_DECIDED = True
     return {
         "process_id": jax.process_index(),

@@ -27,6 +27,13 @@ MEAN_POOLED_FEATURE_STORES = {
     "places365": os.path.join(DATA_ROOT, "img_features/ResNet-152-places365.tsv"),
 }
 
+# Per-view res5c conv-feature stores (reference paths.py:1-4; written by
+# the precompute pipeline with --feature_type convolutional).
+CONVOLUTIONAL_FEATURE_STORES = {
+    "imagenet": os.path.join(DATA_ROOT, "img_features/imagenet_convolutional"),
+    "places365": os.path.join(DATA_ROOT, "img_features/places365_convolutional"),
+}
+
 # Bottom-up detection stores + Visual Genome vocabs (reference
 # paths.py:11-16).
 BOTTOM_UP_FEATURE_STORE = os.path.join(DATA_ROOT, "img_features/bottom_up_10_100")

@@ -67,6 +67,25 @@ class TrainConfig:
     # jax.profiler trace dir: captures the SECOND training interval (the
     # first is compile+warmup) on both trainers.  None = off.
     profile_dir: str | None = None
+    # Device-resident data pipeline (training/device_data.py): pre-encode
+    # the whole training split to device arrays once and run each
+    # log_every interval as ONE jitted K-step lax.scan (per-step minibatch
+    # = on-device gather of pre-staged rows).  Removes the ~28 ms/iter
+    # host dispatch + per-batch encode that otherwise dominates
+    # wall-clock on a 1-core host.  False = per-iteration dispatch (the
+    # reference's loop shape, train.py:68-166).
+    device_data: bool = True
+
+
+def _drop_superseded_best(last_model_saved: dict, key, new_path: str):
+    """Delete the previous best snapshot for ``key`` once a better one is
+    saved (reference train.py:144-149: the superseded best is os.remove'd
+    so snapshots/ holds one best per (split, metric) plus the periodic
+    saves)."""
+    old = last_model_saved.get(key)
+    if old is not None and old != new_path and os.path.exists(old):
+        os.remove(old)
+    last_model_saved[key] = new_path
 
 
 def _device_batch(enc):
@@ -107,6 +126,8 @@ class FollowerTrainer:
         self.opt_state = self.tx.init(self.params)
         self.data_log = defaultdict(list)
         self._step_fn = self._build_step_fn()
+        self._store = None  # lazy DeviceStore (cfg.device_data)
+        self._interval_fn = None  # lazy jitted K-step scan
         # outer-jit the eval rollout with positional args: direct calls to
         # the partial-jitted rollout pay ~28ms host dispatch per call
         self._eval_rollouts = {}
@@ -133,37 +154,110 @@ class FollowerTrainer:
 
         return pm.shard_batch(self.mesh, batch)
 
-    def _build_step_fn(self):
+    def _loss_fn(self, params, tables, batch, rng):
         cfg = self.cfg
+        out = ra.rollout(
+            params,
+            tables,
+            batch,
+            rng,
+            feedback=cfg.feedback,
+            episode_len=cfg.episode_len,
+            deterministic=False,
+            dropout_ratio=cfg.dropout_ratio,
+            use_glove=cfg.use_glove,
+            compute_dtype=cfg.compute_dtype,
+            use_pallas=cfg.use_pallas,
+            pallas_interpret=cfg.pallas_interpret,
+            remat=cfg.remat,
+        )
+        return out.loss
 
-        def loss_fn(params, tables, batch, rng):
-            out = ra.rollout(
-                params,
-                tables,
-                batch,
-                rng,
-                feedback=cfg.feedback,
-                episode_len=cfg.episode_len,
-                deterministic=False,
-                dropout_ratio=cfg.dropout_ratio,
-                use_glove=cfg.use_glove,
-                compute_dtype=cfg.compute_dtype,
-                use_pallas=cfg.use_pallas,
-                pallas_interpret=cfg.pallas_interpret,
-                remat=cfg.remat,
-            )
-            return out.loss
-
+    def _build_step_fn(self):
         @jax.jit
         def step(params, opt_state, tables, batch, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(params, tables, batch, rng)
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                params, tables, batch, rng
+            )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss
 
         return step
 
+    def _get_store(self):
+        if self._store is None:
+            from .device_data import DeviceStore
+
+            self._store = DeviceStore(
+                self.train_ds, self.graph_bank,
+                max_instruction_length=self.cfg.max_instruction_length,
+                mesh=self.mesh,
+            )
+        return self._store
+
+    def _get_interval_fn(self):
+        """One jitted program for a whole K-step training interval: scan
+        over (row-indices, step-keys), per-step on-device gather from the
+        pre-staged dataset store, fwd+bwd+Adam per step.  K is baked by
+        the idx shape (at most two compilations: log_every + remainder)."""
+        if self._interval_fn is None:
+            mesh = self.mesh
+            tx = self.tx
+
+            def interval(params, opt_state, tables, store_arrays, idx, keys):
+                def one_step(carry, xs):
+                    p, o = carry
+                    ix, k = xs
+                    batch = {
+                        name: arr[ix] for name, arr in store_arrays.items()
+                    }
+                    if mesh is not None:
+                        from ..parallel import mesh as pm
+
+                        s = pm.data_sharded(mesh)
+                        batch = {
+                            name: jax.lax.with_sharding_constraint(v, s)
+                            for name, v in batch.items()
+                        }
+                    loss, grads = jax.value_and_grad(self._loss_fn)(
+                        p, tables, batch, k
+                    )
+                    updates, o = tx.update(grads, o, p)
+                    p = jax.tree.map(lambda a, u: a + u, p, updates)
+                    return (p, o), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    one_step, (params, opt_state), (idx, keys)
+                )
+                return params, opt_state, losses
+
+            self._interval_fn = jax.jit(interval)
+        return self._interval_fn
+
     def train_interval(self, n_iters: int):
+        if not self.cfg.device_data:
+            return self._train_interval_host(n_iters)
+        store = self._get_store()
+        idx = np.stack(
+            [store.rows(self.train_ds.next_minibatch())
+             for _ in range(n_iters)]
+        )
+        # one split call for the whole interval (vs one per iteration):
+        # keys[0] becomes the next trainer RNG state, keys[1:] the
+        # per-step keys — a deterministic, resumable stream
+        keys = jax.random.split(self.rng, n_iters + 1)
+        self.rng = keys[0]
+        self.params, self.opt_state, losses = self._get_interval_fn()(
+            self.params, self.opt_state, self.tables, store.arrays,
+            jnp.asarray(idx), keys[1:],
+        )
+        return [float(x) for x in np.asarray(losses)]
+
+    def _train_interval_host(self, n_iters: int):
+        """Per-iteration dispatch (the reference's loop shape) — the
+        cfg.device_data=False fallback, and the oracle the scanned
+        interval is equivalence-tested against."""
         losses = []
         for _ in range(n_iters):
             batch = self.train_ds.next_minibatch()
@@ -214,6 +308,7 @@ class FollowerTrainer:
         log_every = log_every or cfg.log_every
         start = time.time()
         best_metrics = {}
+        last_model_saved = {}  # (env, metric) -> path; old best deleted
         split_string = "-".join(self.train_ds.splits)
 
         for idx in range(0, n_iters, log_every):
@@ -263,6 +358,9 @@ class FollowerTrainer:
                                        env_name, metric, val),
                                 )
                                 ckpt.save_params(path, self.params)
+                                _drop_superseded_best(
+                                    last_model_saved, key, path
+                                )
 
             print(
                 "%.1fm (%d %d%%) %s"
@@ -359,6 +457,8 @@ class SpeakerTrainer:
         self.opt_state = self.tx.init(self.params)
         self.data_log = defaultdict(list)
         self._step_fn = self._build_step_fn()
+        self._store = None  # lazy DeviceStore (cfg.device_data)
+        self._interval_fn = None  # lazy jitted K-step scan
         self._eval_fns = {}
 
     def _eval_fn(self, feedback, unroll_len):
@@ -386,30 +486,31 @@ class SpeakerTrainer:
         )
         return enc
 
-    def _build_step_fn(self):
+    def _loss_fn(self, params, gold, instr_seq, unroll_len, rng,
+                 encoder_valid_len=None):
         cfg = self.cfg
+        # (no use_pallas here: the fused kernel is follower pano
+        # attention; the speaker's per-step visual attention differs)
+        out = sa.score_instructions(
+            params, gold, instr_seq, rng,
+            feedback="teacher",
+            instruction_len=cfg.max_instruction_length,
+            unroll_len=unroll_len,
+            remat=cfg.remat,
+            deterministic=False,
+            dropout_ratio=cfg.dropout_ratio,
+            use_glove=cfg.use_glove,
+            compute_dtype=cfg.compute_dtype,
+            encoder_valid_len=encoder_valid_len,
+        )
+        return out.loss
 
-        def loss_fn(params, gold, instr_seq, unroll_len, rng):
-            # (no use_pallas here: the fused kernel is follower pano
-            # attention; the speaker's per-step visual attention differs)
-            out = sa.score_instructions(
-                params, gold, instr_seq, rng,
-                feedback="teacher",
-                instruction_len=cfg.max_instruction_length,
-                unroll_len=unroll_len,
-                remat=cfg.remat,
-                deterministic=False,
-                dropout_ratio=cfg.dropout_ratio,
-                use_glove=cfg.use_glove,
-                compute_dtype=cfg.compute_dtype,
-            )
-            return out.loss
-
+    def _build_step_fn(self):
         from functools import partial
 
         @partial(jax.jit, static_argnames=("unroll_len",))
         def step(params, opt_state, gold, instr_seq, rng, unroll_len):
-            loss, grads = jax.value_and_grad(loss_fn)(
+            loss, grads = jax.value_and_grad(self._loss_fn)(
                 params, gold, instr_seq, unroll_len, rng
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -417,6 +518,68 @@ class SpeakerTrainer:
             return params, opt_state, loss
 
         return step
+
+    def _get_store(self):
+        if self._store is None:
+            from .device_data import DeviceStore
+
+            self._store = DeviceStore(
+                self.train_ds, self.graph_bank,
+                max_instruction_length=self.cfg.max_instruction_length,
+                reverse_instructions=False,  # speaker targets: not reversed
+                mesh=self.mesh,
+            )
+        return self._store
+
+    def _get_interval_fn(self):
+        """K-step scanned speaker interval: per-step on-device gather,
+        gold-trajectory rollout, teacher-forced scoring, Adam update — one
+        dispatch per interval.  Unlike the per-iteration path (which syncs
+        max(path_len) to the host to shrink the encoder unroll), the scan
+        always unrolls episode_len steps; padded steps are masked
+        (path_mask), so values are identical and the whole interval stays
+        on device."""
+        if self._interval_fn is None:
+            cfg = self.cfg
+            mesh = self.mesh
+            tx = self.tx
+
+            def interval(params, opt_state, tables, store_arrays, idx, keys):
+                def one_step(carry, xs):
+                    p, o = carry
+                    ix, k = xs
+                    batch = {
+                        name: arr[ix] for name, arr in store_arrays.items()
+                    }
+                    if mesh is not None:
+                        from ..parallel import mesh as pm
+
+                        s = pm.data_sharded(mesh)
+                        batch = {
+                            name: jax.lax.with_sharding_constraint(v, s)
+                            for name, v in batch.items()
+                        }
+                    gold = sa.gold_rollout(
+                        tables, batch, episode_len=cfg.episode_len
+                    )
+                    # traced batch-max path length reproduces the host
+                    # path's shrink-wrapped unroll (reference batch-max
+                    # semantics) without a per-iteration host sync
+                    loss, grads = jax.value_and_grad(self._loss_fn)(
+                        p, gold, batch["seq"], cfg.episode_len, k,
+                        gold.path_len.max(),
+                    )
+                    updates, o = tx.update(grads, o, p)
+                    p = jax.tree.map(lambda a, u: a + u, p, updates)
+                    return (p, o), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    one_step, (params, opt_state), (idx, keys)
+                )
+                return params, opt_state, losses
+
+            self._interval_fn = jax.jit(interval)
+        return self._interval_fn
 
     def _gold_and_instr(self, enc):
         db = _device_batch(enc)
@@ -433,6 +596,24 @@ class SpeakerTrainer:
         return gold, seq, unroll_len
 
     def train_interval(self, n_iters: int):
+        if not self.cfg.device_data:
+            return self._train_interval_host(n_iters)
+        store = self._get_store()
+        idx = np.stack(
+            [store.rows(self.train_ds.next_minibatch())
+             for _ in range(n_iters)]
+        )
+        keys = jax.random.split(self.rng, n_iters + 1)
+        self.rng = keys[0]
+        self.params, self.opt_state, losses = self._get_interval_fn()(
+            self.params, self.opt_state, self.tables, store.arrays,
+            jnp.asarray(idx), keys[1:],
+        )
+        return [float(x) for x in np.asarray(losses)]
+
+    def _train_interval_host(self, n_iters: int):
+        """Per-iteration dispatch fallback (cfg.device_data=False) and the
+        equivalence oracle for the scanned interval."""
         losses = []
         for _ in range(n_iters):
             batch = self.train_ds.next_minibatch()
@@ -477,6 +658,7 @@ class SpeakerTrainer:
         log_every = log_every or cfg.log_every
         start = time.time()
         best_metrics = {}
+        last_model_saved = {}  # (env, metric) -> path; old best deleted
         split_string = "-".join(self.train_ds.splits)
 
         for idx in range(0, n_iters, log_every):
@@ -515,14 +697,15 @@ class SpeakerTrainer:
                         if key not in best_metrics or best_metrics[key] < val:
                             best_metrics[key] = val
                             if not cfg.no_save:
-                                ckpt.save_params(
-                                    os.path.join(
-                                        cfg.snapshot_dir,
-                                        "%s_%s_iter_%d_%s-%s=%.3f"
-                                        % (cfg.model_prefix, split_string, it,
-                                           env_name, metric, val),
-                                    ),
-                                    self.params,
+                                path = os.path.join(
+                                    cfg.snapshot_dir,
+                                    "%s_%s_iter_%d_%s-%s=%.3f"
+                                    % (cfg.model_prefix, split_string, it,
+                                       env_name, metric, val),
+                                )
+                                ckpt.save_params(path, self.params)
+                                _drop_superseded_best(
+                                    last_model_saved, key, path
                                 )
             print(
                 "%.1fm (%d %d%%) %s"

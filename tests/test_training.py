@@ -257,6 +257,109 @@ def test_pallas_trainer_matches_xla(world):
     np.testing.assert_allclose(l_xla, l_pallas, rtol=2e-4)
 
 
+def test_follower_device_interval_matches_per_step(world):
+    """The K-step scanned device-resident interval (cfg.device_data) must
+    reproduce the per-iteration dispatch path exactly: same minibatch
+    order, same per-step keys => same losses and params."""
+    import jax.numpy as jnp
+
+    from speaker_follower_tpu.data.dataset import encode_batch
+    from speaker_follower_tpu.data.text import Tokenizer
+    from speaker_follower_tpu.training.trainer import _device_batch
+
+    vocab, tok, ds, bank, tables = world
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    cfg = TrainConfig(feedback="teacher", use_glove=False, no_save=True)
+
+    def make_ds():
+        d = R2RDataset(["sub_val_seen"], tokenizer=Tokenizer(vocab=vocab),
+                       batch_size=8, seed=10)
+        d.data = [x for x in d.data if x["scan"] in set(bank.scan_ids)]
+        return d
+
+    K = 3
+    tr = FollowerTrainer(jax.tree.map(jnp.array, params), tables, make_ds(),
+                         bank, cfg, rng=jax.random.PRNGKey(7))
+    assert tr.cfg.device_data
+    dev_losses = tr.train_interval(K)
+
+    # oracle: per-iteration dispatch with the SAME key derivation
+    ds2 = make_ds()
+    keys = jax.random.split(jax.random.PRNGKey(7), K + 1)
+    p, o = jax.tree.map(jnp.array, params), None
+    tr2 = FollowerTrainer(p, tables, ds2, bank, cfg)
+    p, o = tr2.params, tr2.opt_state
+    host_losses = []
+    for i in range(K):
+        enc = encode_batch(ds2.next_minibatch(), bank)
+        p, o, loss = tr2._step_fn(p, o, tables, _device_batch(enc), keys[1 + i])
+        host_losses.append(float(loss))
+
+    np.testing.assert_allclose(dev_losses, host_losses, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(tr.params),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_speaker_device_interval_matches_per_step(world):
+    """Scanned speaker interval == per-iteration path.  Also proves the
+    traced encoder_valid_len (static unroll_len=episode_len + batch-max
+    masking) matches the host path's unroll_len=max(path_len)
+    shrink-wrap.  dropout=0: the two compilations draw dropout masks of
+    different static shapes (t_max vs episode_len), so only the
+    dropout-free values can be compared exactly."""
+    import jax.numpy as jnp
+
+    from speaker_follower_tpu.data.text import Tokenizer
+
+    vocab, tok, ds, bank, tables = world
+    params = init_speaker(
+        jax.random.PRNGKey(1), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    cfg = TrainConfig(feedback="teacher", use_glove=False, no_save=True,
+                      max_instruction_length=40, dropout_ratio=0.0)
+
+    def make_ds():
+        d = R2RDataset(["sub_val_seen"], tokenizer=Tokenizer(vocab=vocab),
+                       batch_size=8, seed=10)
+        d.data = [x for x in d.data if x["scan"] in set(bank.scan_ids)]
+        return d
+
+    K = 3
+    tr = SpeakerTrainer(jax.tree.map(jnp.array, params), tables, make_ds(),
+                        bank, cfg, tokenizer=tok, rng=jax.random.PRNGKey(9))
+    dev_losses = tr.train_interval(K)
+
+    tr2 = SpeakerTrainer(jax.tree.map(jnp.array, params), tables, make_ds(),
+                         bank, cfg, tokenizer=tok)
+    keys = jax.random.split(jax.random.PRNGKey(9), K + 1)
+    p, o = tr2.params, tr2.opt_state
+    host_losses = []
+    for i in range(K):
+        enc = tr2._encode_speaker_batch(tr2.train_ds.next_minibatch())
+        gold, instr_seq, unroll_len = tr2._gold_and_instr(enc)
+        p, o, loss = tr2._step_fn(p, o, gold, instr_seq, keys[1 + i],
+                                  unroll_len=unroll_len)
+        host_losses.append(float(loss))
+
+    # the 3 chained losses are the semantic check (loss at step i sees the
+    # params produced by steps < i); params themselves pass through Adam's
+    # m/(sqrt(v)+eps), which amplifies reassociation-level (~1e-7) jitter
+    # on near-zero-gradient leaves, hence the looser param tolerance
+    np.testing.assert_allclose(dev_losses, host_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(tr.params),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-4)
+
+
 def test_speaker_remat_matches_exactly(world):
     """Speaker score_instructions with remat=True: identical loss/grads."""
     import jax.numpy as jnp

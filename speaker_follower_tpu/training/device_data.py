@@ -53,6 +53,8 @@ class DeviceStore:
             reverse_instructions=reverse_instructions,
         )
         arrays = {k: np.asarray(enc[k]) for k in ARRAY_KEYS}
+        self.items = items  # row -> item dict (eval metadata)
+        self.host = arrays  # np copies (host-side trajectory metadata)
         if mesh is not None:
             from ..parallel import mesh as pm
 
@@ -80,3 +82,16 @@ class DeviceStore:
         """Device-side minibatch gather — call under jit.  ``idx`` is a
         (B,) int32 row-index array."""
         return {k: v[idx] for k, v in self.arrays.items()}
+
+
+def epoch_index_matrix(ds: R2RDataset, store: DeviceStore) -> np.ndarray:
+    """(M, B) row indices covering every item of ``ds`` once, in the
+    dataset's current order, final batch padded by wrapping to the start
+    (the wrapped duplicates are dropped by the caller's dedup-by-instr_id,
+    reproducing the reference's iterate-until-looped eval protocol,
+    follower.py:135-192)."""
+    rows = store.rows(ds.data)
+    b = ds.batch_size
+    m = -(-len(rows) // b)
+    # np.resize tiles cyclically, covering datasets smaller than one batch
+    return np.resize(rows, m * b).reshape(m, b)

@@ -128,6 +128,7 @@ class FollowerTrainer:
         self._step_fn = self._build_step_fn()
         self._store = None  # lazy DeviceStore (cfg.device_data)
         self._interval_fn = None  # lazy jitted K-step scan
+        self._eval_stores = {}  # id(ds) -> DeviceStore for eval epochs
         # outer-jit the eval rollout with positional args: direct calls to
         # the partial-jitted rollout pay ~28ms host dispatch per call
         self._eval_rollouts = {}
@@ -186,15 +187,20 @@ class FollowerTrainer:
         return step
 
     def _get_store(self):
-        if self._store is None:
+        # keyed by dataset identity: the two-phase CLI swaps train_ds
+        # between the pretraining and finetuning phases
+        if self._store is None or self._store[0] is not self.train_ds:
             from .device_data import DeviceStore
 
-            self._store = DeviceStore(
-                self.train_ds, self.graph_bank,
-                max_instruction_length=self.cfg.max_instruction_length,
-                mesh=self.mesh,
+            self._store = (
+                self.train_ds,
+                DeviceStore(
+                    self.train_ds, self.graph_bank,
+                    max_instruction_length=self.cfg.max_instruction_length,
+                    mesh=self.mesh,
+                ),
             )
-        return self._store
+        return self._store[1]
 
     def _get_interval_fn(self):
         """One jitted program for a whole K-step training interval: scan
@@ -275,8 +281,93 @@ class FollowerTrainer:
 
     def test(self, ds, feedback="argmax", allow_cheat=False, collect_loss=False):
         """Evaluate once per instruction (reference BaseAgent.test,
-        follower.py:135-192): iterate minibatches until ids repeat."""
+        follower.py:135-192): cover the dataset, first occurrence per
+        instr_id wins.  With cfg.device_data the whole epoch runs as ONE
+        jitted scan over pre-staged minibatches (one dispatch per split
+        instead of one per minibatch); otherwise iterate until ids repeat
+        (the reference's loop shape)."""
         assert allow_cheat or feedback in ("argmax", "sample")
+        if not self.cfg.device_data:
+            return self._test_host(ds, feedback, collect_loss)
+
+        from .device_data import DeviceStore, epoch_index_matrix
+
+        store = self._eval_stores.get(id(ds))
+        if store is None:
+            store = DeviceStore(
+                ds, self.graph_bank,
+                max_instruction_length=self.cfg.max_instruction_length,
+                mesh=self.mesh,
+            )
+            self._eval_stores[id(ds)] = store
+        ds.reset_epoch()
+        idx = epoch_index_matrix(ds, store)
+        self.rng, key = jax.random.split(self.rng)
+        keys = jax.random.split(key, idx.shape[0])
+        out = self._get_eval_epoch_fn(feedback)(
+            self.params, self.tables, store.arrays, jnp.asarray(idx), keys
+        )
+        out = jax.tree.map(np.asarray, out)  # one bulk host transfer
+
+        results = {}
+        losses = [float(l) for l in out.loss] if collect_loss else []
+        for m in range(idx.shape[0]):
+            rows = idx[m]
+            items = [store.items[r] for r in rows]
+            meta = {
+                "instr_id": [it["instr_id"] for it in items],
+                "scan_id": [it["scan"] for it in items],
+                "path": [it["path"] for it in items],
+                "item": items,
+                "start_node": store.host["start_node"][rows],
+                "heading": store.host["heading"][rows],
+            }
+            out_m = jax.tree.map(lambda x: x[m], out)
+            for traj in ra.trajectories_from_rollout(
+                out_m, meta, self.graph_bank
+            ):
+                if traj["instr_id"] not in results:
+                    results[traj["instr_id"]] = traj
+        return results, losses
+
+    def _get_eval_epoch_fn(self, feedback):
+        """Jitted full-epoch eval: lax.scan of the rollout over an (M, B)
+        row-index matrix (compiles once per (feedback, M, B))."""
+        key = ("epoch", feedback)
+        if key not in self._eval_rollouts:
+            cfg = self.cfg
+            mesh = self.mesh
+
+            def epoch(params, tables, store_arrays, idx, keys):
+                def one(_, xs):
+                    ix, k = xs
+                    batch = {
+                        name: arr[ix] for name, arr in store_arrays.items()
+                    }
+                    if mesh is not None:
+                        from ..parallel import mesh as pm
+
+                        s = pm.data_sharded(mesh)
+                        batch = {
+                            name: jax.lax.with_sharding_constraint(v, s)
+                            for name, v in batch.items()
+                        }
+                    out = ra.rollout(
+                        params, tables, batch, k,
+                        feedback=feedback, episode_len=cfg.episode_len,
+                        deterministic=True, use_glove=cfg.use_glove,
+                        use_pallas=cfg.use_pallas,
+                        pallas_interpret=cfg.pallas_interpret,
+                    )
+                    return 0, out
+
+                _, outs = jax.lax.scan(one, 0, (idx, keys))
+                return outs
+
+            self._eval_rollouts[key] = jax.jit(epoch)
+        return self._eval_rollouts[key]
+
+    def _test_host(self, ds, feedback, collect_loss):
         ds.reset_epoch()
         results = {}
         losses = []
@@ -459,6 +550,7 @@ class SpeakerTrainer:
         self._step_fn = self._build_step_fn()
         self._store = None  # lazy DeviceStore (cfg.device_data)
         self._interval_fn = None  # lazy jitted K-step scan
+        self._eval_stores = {}  # id(ds) -> DeviceStore for eval epochs
         self._eval_fns = {}
 
     def _eval_fn(self, feedback, unroll_len):
@@ -520,16 +612,20 @@ class SpeakerTrainer:
         return step
 
     def _get_store(self):
-        if self._store is None:
+        # keyed by dataset identity (see FollowerTrainer._get_store)
+        if self._store is None or self._store[0] is not self.train_ds:
             from .device_data import DeviceStore
 
-            self._store = DeviceStore(
-                self.train_ds, self.graph_bank,
-                max_instruction_length=self.cfg.max_instruction_length,
-                reverse_instructions=False,  # speaker targets: not reversed
-                mesh=self.mesh,
+            self._store = (
+                self.train_ds,
+                DeviceStore(
+                    self.train_ds, self.graph_bank,
+                    max_instruction_length=self.cfg.max_instruction_length,
+                    reverse_instructions=False,  # speaker targets: not reversed
+                    mesh=self.mesh,
+                ),
             )
-        return self._store
+        return self._store[1]
 
     def _get_interval_fn(self):
         """K-step scanned speaker interval: per-step on-device gather,
@@ -629,6 +725,87 @@ class SpeakerTrainer:
 
     def test(self, ds, feedback="argmax", allow_cheat=False, collect_loss=False):
         assert allow_cheat or feedback in ("argmax", "sample")
+        if not self.cfg.device_data:
+            return self._test_host(ds, feedback, collect_loss)
+
+        from .device_data import DeviceStore, epoch_index_matrix
+
+        store = self._eval_stores.get(id(ds))
+        if store is None:
+            store = DeviceStore(
+                ds, self.graph_bank,
+                max_instruction_length=self.cfg.max_instruction_length,
+                reverse_instructions=False,
+                mesh=self.mesh,
+            )
+            self._eval_stores[id(ds)] = store
+        ds.reset_epoch()
+        idx = epoch_index_matrix(ds, store)
+        self.rng, key = jax.random.split(self.rng)
+        keys = jax.random.split(key, idx.shape[0])
+        out = self._get_eval_epoch_fn(feedback)(
+            self.params, self.tables, store.arrays, jnp.asarray(idx), keys
+        )
+        out = jax.tree.map(np.asarray, out)
+
+        results = {}
+        losses = [float(l) for l in out.loss] if collect_loss else []
+        for m in range(idx.shape[0]):
+            instr_ids = [store.items[r]["instr_id"] for r in idx[m]]
+            out_m = jax.tree.map(lambda x: x[m], out)
+            batch_results = sa.speaker_results_from_output(
+                out_m, instr_ids, self.tokenizer
+            )
+            for instr_id, r in batch_results.items():
+                if instr_id not in results:
+                    results[instr_id] = r
+        return results, losses
+
+    def _get_eval_epoch_fn(self, feedback):
+        """Jitted full-epoch speaker eval: scan of [gold rollout ->
+        decode/score] over an (M, B) row-index matrix; the traced
+        batch-max encoder_valid_len replaces the host path's per-batch
+        unroll_len sync."""
+        key = ("epoch", feedback)
+        if key not in self._eval_fns:
+            cfg = self.cfg
+            mesh = self.mesh
+
+            def epoch(params, tables, store_arrays, idx, keys):
+                def one(_, xs):
+                    ix, k = xs
+                    batch = {
+                        name: arr[ix] for name, arr in store_arrays.items()
+                    }
+                    if mesh is not None:
+                        from ..parallel import mesh as pm
+
+                        s = pm.data_sharded(mesh)
+                        batch = {
+                            name: jax.lax.with_sharding_constraint(v, s)
+                            for name, v in batch.items()
+                        }
+                    gold = sa.gold_rollout(
+                        tables, batch, episode_len=cfg.episode_len
+                    )
+                    out = sa.score_instructions(
+                        params, gold, batch["seq"], k,
+                        feedback=feedback,
+                        instruction_len=cfg.max_instruction_length,
+                        unroll_len=cfg.episode_len,
+                        deterministic=True,
+                        use_glove=cfg.use_glove,
+                        encoder_valid_len=gold.path_len.max(),
+                    )
+                    return 0, out
+
+                _, outs = jax.lax.scan(one, 0, (idx, keys))
+                return outs
+
+            self._eval_fns[key] = jax.jit(epoch)
+        return self._eval_fns[key]
+
+    def _test_host(self, ds, feedback, collect_loss):
         ds.reset_epoch()
         results = {}
         losses = []

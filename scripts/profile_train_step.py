@@ -1,0 +1,219 @@
+"""Component-level timing of the follower train step on the real chip.
+
+Times each piece of the b2048 train step separately (honest sync via
+np.asarray) to locate the bottleneck: encoder scan, env scan, decoder
+scan, full fwd, full fwd+bwd, optimizer.  Used to decide where Pallas
+fusion pays (docs/ROUND2.md measured the encoder at 38 ms / env at 50 ms
+@ b1024 from this kind of decomposition).
+
+Usage: python scripts/profile_train_step.py [--batch 2048] [--pallas]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH = 2048
+EPISODE_LEN = 10
+FEAT_DIM = 2048
+HIDDEN = 512
+MAX_LEN = 80
+
+
+def timeit(name, fn, *args, iters=10):
+    """Times a jitted scalar-returning program.  ``fn`` must reduce its
+    outputs to (near-)scalars INSIDE jit: np.asarray is the only honest
+    sync over the axon tunnel, and syncing a large output would time the
+    host transfer, not the compute (the adam-update artifact: returning
+    the full param pytree costs ~1s of tunnel copy per call)."""
+    import jax
+
+    out = fn(*args)
+    jax.tree.map(np.asarray, out)  # compile + honest sync
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.map(np.asarray, out)
+    dt = (time.time() - t0) / iters * 1000
+    print(f"{name:42s} {dt:8.2f} ms")
+    return dt
+
+
+def _scalarize(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return sum(
+        jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(tree)
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--compute", default="bf16", choices=["f32", "bf16"])
+    args = ap.parse_args()
+    batch_size = args.batch
+
+    import jax
+    import jax.numpy as jnp
+
+    from speaker_follower_tpu.agents.rollout import rollout
+    from speaker_follower_tpu.data.graph import load_graph_bank
+    from speaker_follower_tpu.env import vecenv
+    from speaker_follower_tpu.models import follower as fmodels
+    from speaker_follower_tpu.models.follower import init_follower
+    from speaker_follower_tpu.training.optim import adam_with_torch_wd
+
+    with open("/root/reference/connectivity/scans.txt") as f:
+        scans = [line.strip() for line in f if line.strip()]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bank = load_graph_bank(
+        scans, "/root/reference/connectivity",
+        cache_dir=os.path.join(repo, ".cache"),
+    )
+    feats = jax.random.normal(
+        jax.random.PRNGKey(0), (bank.total_nodes, 36, FEAT_DIM), jnp.bfloat16
+    )
+    tables = vecenv.make_env_tables(bank, feats, pad_views=args.pallas)
+    print(f"device={jax.devices()[0]} batch={batch_size} pallas={args.pallas} "
+          f"compute={args.compute}")
+
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=992, word_embedding_size=300,
+        hidden_size=HIDDEN, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.RandomState(0)
+    scan_ix = rng.randint(len(scans), size=batch_size).astype(np.int32)
+    node = np.zeros(batch_size, np.int32)
+    goal = np.zeros(batch_size, np.int32)
+    for i in range(batch_size):
+        g = bank.graphs[scans[scan_ix[i]]]
+        inc = np.nonzero(g.included & (g.adj_count > 0))[0]
+        node[i], goal[i] = inc[rng.randint(len(inc), size=2)]
+    lengths = rng.randint(10, MAX_LEN, size=batch_size).astype(np.int32)
+    seq = rng.randint(4, 900, size=(batch_size, MAX_LEN)).astype(np.int32)
+    for i, l in enumerate(lengths):
+        seq[i, l - 1] = 2
+        seq[i, l:] = 0
+    batch = {
+        "scan": jnp.asarray(scan_ix),
+        "start_node": jnp.asarray(node),
+        "goal_node": jnp.asarray(goal),
+        "heading": jnp.asarray(rng.randint(12, size=batch_size).astype(np.int32)),
+        "seq": jnp.asarray(seq),
+        "seq_mask": jnp.asarray(seq == 0),
+        "seq_length": jnp.asarray(lengths),
+    }
+    key = jax.random.PRNGKey(1)
+    compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.compute]
+    use_pallas = args.pallas
+
+    # ---- full rollout forward (train config: sample feedback, dropout)
+    def loss_fn(p, t, b, k):
+        return rollout(
+            p, t, b, k, feedback="sample", episode_len=EPISODE_LEN,
+            deterministic=False, dropout_ratio=0.5,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+        ).loss
+
+    fwd = jax.jit(loss_fn)
+    timeit("rollout fwd (sample, dropout)", fwd, params, tables, batch, key)
+
+    # ---- full train grad (scalarized: ship one float, not 80 MB of grads)
+    def vg_scalar(p, t, b, k):
+        loss, grads = jax.value_and_grad(loss_fn)(p, t, b, k)
+        return loss, _scalarize(grads)
+
+    vg = jax.jit(vg_scalar)
+    timeit("rollout fwd+bwd", vg, params, tables, batch, key)
+
+    # ---- optimizer alone
+    tx = adam_with_torch_wd(1e-4, 5e-4)
+    opt_state = tx.init(params)
+    grads = jax.jit(
+        lambda p, t, b, k: jax.grad(loss_fn)(p, t, b, k)
+    )(params, tables, batch, key)
+
+    def opt_step(g, o, p):
+        up, o2 = tx.update(g, o, p)
+        p2 = jax.tree.map(lambda a, u: a + u, p, up)
+        return _scalarize(p2)
+
+    timeit("adam update", jax.jit(opt_step), grads, opt_state, params)
+
+    # ---- encoder alone (fwd and fwd+bwd)
+    cast = (
+        (lambda p: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, p))
+        if compute_dtype else (lambda p: p)
+    )
+
+    def enc_loss(p, b, k):
+        ctx, h, c = fmodels.encoder_apply(
+            cast(p)["encoder"], b["seq"], b["seq_length"],
+            dropout_ratio=0.5, use_glove=True, deterministic=False,
+            rng=k, use_pallas_lstm=use_pallas,
+        )
+        return (
+            jnp.sum(ctx.astype(jnp.float32))
+            + jnp.sum(h.astype(jnp.float32))
+            + jnp.sum(c.astype(jnp.float32))
+        )
+
+    timeit("encoder fwd", jax.jit(enc_loss), params, batch, key)
+    timeit("encoder fwd+bwd",
+           jax.jit(lambda p, b, k: _scalarize(jax.grad(enc_loss)(p, b, k))),
+           params, batch, key)
+
+    # ---- env scan alone (observe + teacher step, no model)
+    def env_scan(t, b):
+        state = vecenv.reset(b["scan"], b["start_node"], b["heading"])
+        goal = b["goal_node"]
+
+        def step_fn(state, _):
+            obs = vecenv.observe(t, state, goal)
+            state = vecenv.step(t, state, obs.teacher)
+            return state, (obs.teacher, obs.pano_feature.sum())
+
+        state, (acts, s) = jax.lax.scan(
+            step_fn, state, jnp.arange(EPISODE_LEN)
+        )
+        return state.node.sum(), acts.sum(), s.sum()
+
+    timeit("env scan (observe+teacher step) x10", jax.jit(env_scan),
+           tables, batch)
+
+    # ---- env scan without pano feature assembly
+    def env_scan_nofeat(t, b):
+        state = vecenv.reset(b["scan"], b["start_node"], b["heading"])
+        goal = b["goal_node"]
+
+        def step_fn(state, _):
+            obs = vecenv.observe(t, state, goal, with_features=False)
+            state = vecenv.step(t, state, obs.teacher)
+            return state, obs.teacher
+
+        state, acts = jax.lax.scan(step_fn, state, jnp.arange(EPISODE_LEN))
+        return state.node.sum(), acts.sum()
+
+    try:
+        timeit("env scan (no pano features) x10", jax.jit(env_scan_nofeat),
+               tables, batch)
+    except TypeError:
+        print("env scan (no pano features): observe() has no "
+              "with_features flag — skipped")
+
+
+if __name__ == "__main__":
+    main()

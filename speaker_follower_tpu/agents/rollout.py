@@ -128,6 +128,8 @@ def rollout(
         use_glove=use_glove,
         deterministic=deterministic,
         rng=enc_key,
+        use_pallas_lstm=use_pallas,
+        pallas_interpret=pallas_interpret,
     )
     seq_mask = batch["seq_mask"]
     goal = batch["goal_node"]

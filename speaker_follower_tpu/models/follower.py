@@ -68,6 +68,8 @@ def encoder_apply(
     use_glove: bool = True,
     deterministic: bool = True,
     rng=None,
+    use_pallas_lstm: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Returns (ctx (B, L, H*dirs), decoder_h0 (B, H*dirs), c0 (B, H*dirs)).
 
@@ -87,9 +89,17 @@ def encoder_apply(
     h0 = jnp.zeros((b, hidden), embeds.dtype)
     c0 = jnp.zeros((b, hidden), embeds.dtype)
 
-    ctx_f, (h_f, c_f) = masked_lstm_scan(p["lstm_fwd"], embeds, lengths, h0, c0)
+    if use_pallas_lstm:
+        # fused weights-resident Pallas scan (ops/lstm.py): whole time
+        # loop as one kernel, w_hh resident in VMEM
+        from ..ops.lstm import masked_lstm_scan_pallas
+
+        scan = partial(masked_lstm_scan_pallas, interpret=pallas_interpret)
+    else:
+        scan = masked_lstm_scan
+    ctx_f, (h_f, c_f) = scan(p["lstm_fwd"], embeds, lengths, h0, c0)
     if "lstm_bwd" in p:
-        ctx_b, (h_b, c_b) = masked_lstm_scan(
+        ctx_b, (h_b, c_b) = scan(
             p["lstm_bwd"], embeds, lengths, h0, c0, reverse=True
         )
         ctx = jnp.concatenate([ctx_f, ctx_b], axis=-1)

@@ -183,18 +183,142 @@ def fused_pano_attention(
     return weighted, attn
 
 
+def _bwd_kernel(
+    # scalar prefetch
+    gnode_ref,  # (B,) int32
+    view_ref,  # (B,) int32
+    # inputs
+    features_hbm,  # (T, 40, D) in ANY/HBM
+    loc_table_ref,  # (36, 36, 128) VMEM
+    attn_ref,  # (BB, 36) VMEM — saved forward softmax
+    g_w_ref,  # (BB, D + 128) VMEM — d(weighted)
+    g_a_ref,  # (BB, 36) VMEM — d(attn output)
+    # outputs
+    g_v_feat_ref,  # (BB, D) VMEM
+    g_v_loc_ref,  # (BB, 128) VMEM
+    g_bias_ref,  # (BB, 1) VMEM
+    # scratch
+    feat_scratch,  # (BB, 40, D) VMEM
+    loc_scratch,  # (BB, 36, 128) VMEM
+    sem,  # DMA semaphores (BB,)
+    *,
+    block_b: int,
+):
+    b0 = pl.program_id(0) * block_b
+    d = g_v_feat_ref.shape[-1]
+
+    for i in range(block_b):
+        pltpu.make_async_copy(
+            features_hbm.at[gnode_ref[b0 + i]], feat_scratch.at[i], sem.at[i]
+        ).start()
+    for i in range(block_b):
+        loc_scratch[i] = loc_table_ref[view_ref[b0 + i]]
+    for i in range(block_b):
+        pltpu.make_async_copy(
+            features_hbm.at[gnode_ref[b0 + i]], feat_scratch.at[i], sem.at[i]
+        ).wait()
+
+    feat = feat_scratch[:, :NUM_VIEWS, :].astype(jnp.float32)  # (BB, 36, D)
+    loc = loc_scratch[...].astype(jnp.float32)  # (BB, 36, 128)
+    attn = attn_ref[...]  # (BB, 36)
+
+    # d(weighted)/d(attn): rows of [feat | loc], plus the direct d(attn)
+    g_attn = (
+        (feat * g_w_ref[...][:, None, :d]).sum(axis=-1)
+        + (loc * g_w_ref[...][:, None, d:]).sum(axis=-1)
+        + g_a_ref[...]
+    )  # (BB, 36)
+    # softmax jacobian: d logits = attn * (g_attn - sum(g_attn * attn))
+    g_logits = attn * (g_attn - (g_attn * attn).sum(axis=-1, keepdims=True))
+    g_v_feat_ref[...] = (feat * g_logits[:, :, None]).sum(axis=1)
+    g_v_loc_ref[...] = (loc * g_logits[:, :, None]).sum(axis=1)
+    g_bias_ref[...] = g_logits.sum(axis=-1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("block_b", "interpret"))
+def _fused_pano_attention_bwd(
+    features, loc_table, gnode, view_index, attn, g_w, g_a,
+    *, block_b: int | None = None, interpret: bool = False,
+):
+    """Fused backward: re-gathers each episode's feature rows HBM->VMEM
+    once and computes (g_v_feat, g_v_loc, g_bias) in-core — the XLA
+    backward's (B, 36, D) gather materialization + re-reads never touch
+    HBM."""
+    b = gnode.shape[0]
+    d = features.shape[-1]
+    if block_b is None:
+        block_b = 8
+    pad = (-b) % block_b
+    if pad:
+        padb = lambda x: jnp.concatenate(  # noqa: E731
+            [x, jnp.repeat(x[:1], pad, axis=0)], axis=0
+        )
+        gf, gl, gb = _fused_pano_attention_bwd(
+            features, loc_table, padb(gnode), padb(view_index), padb(attn),
+            padb(g_w), padb(g_a), block_b=block_b, interpret=interpret,
+        )
+        return gf[:b], gl[:b], gb[:b]
+    assert features.shape[1] == PADDED_VIEWS
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // block_b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # features stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # loc table
+            pl.BlockSpec((block_b, NUM_VIEWS), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d + LOC_EMBED_DIM), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, NUM_VIEWS), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, LOC_EMBED_DIM), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_b, PADDED_VIEWS, d), features.dtype),
+            pltpu.VMEM((block_b, NUM_VIEWS, LOC_EMBED_DIM), loc_table.dtype),
+            pltpu.SemaphoreType.DMA((block_b,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_bwd_kernel, block_b=block_b),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, LOC_EMBED_DIM), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        gnode.astype(jnp.int32),
+        view_index.astype(jnp.int32),
+        features,
+        loc_table,
+        attn.astype(jnp.float32),
+        g_w.astype(jnp.float32),
+        g_a.astype(jnp.float32),
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def pano_attention(
     features, loc_table, gnode, view_index, v_feat, v_loc, bias,
     block_b=None, interpret=False,
 ):
-    """Differentiable wrapper: fused Pallas forward, XLA backward.
+    """Differentiable wrapper: fused Pallas forward AND backward.
 
     Gradients flow to (v_feat, v_loc, bias) — the feature bank and loc
-    table are environment data (no grads).  The backward pass re-gathers
-    the panorama once via the XLA path; net training traffic drops from 3
-    passes over the gathered block to 2.
-    """
+    table are environment data (no grads).  Both passes DMA the feature
+    rows HBM->VMEM directly; the gathered (B, 36, D) panorama never
+    materializes in HBM in either direction (the XLA backward used to
+    re-gather it, which kept training ~neutral; see ROUND2.md)."""
     w, a = fused_pano_attention(
         features, loc_table, gnode, view_index, v_feat, v_loc, bias,
         block_b=block_b, interpret=interpret,
@@ -214,25 +338,34 @@ def _pa_fwd(features, loc_table, gnode, view_index, v_feat, v_loc, bias,
 def _pa_bwd(block_b, interpret, res, grads):
     features, loc_table, gnode, view_index, attn = res
     g_w, g_a = grads
+    g_v_feat, g_v_loc, g_bias = _fused_pano_attention_bwd(
+        features, loc_table, gnode, view_index, attn, g_w, g_a,
+        block_b=block_b, interpret=interpret,
+    )
+    return (None, None, None, None, g_v_feat, g_v_loc, g_bias[:, 0])
+
+
+pano_attention.defvjp(_pa_fwd, _pa_bwd)
+
+
+def _pa_bwd_xla(block_b, interpret, res, grads):
+    """XLA reference backward (kept as the parity oracle for tests)."""
+    features, loc_table, gnode, view_index, attn = res
+    g_w, g_a = grads
     feat = features[gnode, :NUM_VIEWS].astype(jnp.float32)  # (B, 36, D)
     loc = loc_table[view_index].astype(jnp.float32)  # (B, 36, 128)
     d = feat.shape[-1]
 
-    # d weighted / d attn: rows of [feat | loc]
     g_attn = (
         jnp.einsum("bd,bvd->bv", g_w[:, :d], feat)
         + jnp.einsum("bl,bvl->bv", g_w[:, d:], loc)
         + g_a
     )
-    # softmax jacobian: d logits = attn * (g_attn - sum(g_attn * attn))
     g_logits = attn * (g_attn - (g_attn * attn).sum(-1, keepdims=True))
     g_v_feat = jnp.einsum("bv,bvd->bd", g_logits, feat)
     g_v_loc = jnp.einsum("bv,bvl->bl", g_logits, loc)
     g_bias = g_logits.sum(-1)
     return (None, None, None, None, g_v_feat, g_v_loc, g_bias)
-
-
-pano_attention.defvjp(_pa_fwd, _pa_bwd)
 
 
 def pano_attention_reference(

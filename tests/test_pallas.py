@@ -139,3 +139,24 @@ def test_pano_attention_gradients_match_xla():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(v_feat, v_loc, bias)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-4)
+
+    # unaligned batch (5 % 8 != 0): the backward pads rows internally and
+    # slices the grads back — padded-row grads must not leak in
+    def loss_fused5(vf, vl, bb):
+        w, a = pano_attention(
+            features, loc_table, gnode[:5], view[:5], vf, vl, bb, None, True
+        )
+        return (w**2).sum() + (a * jnp.arange(36)).sum()
+
+    def loss_ref5(vf, vl, bb):
+        w, a = pano_attention_reference(
+            features, loc_table, gnode[:5], view[:5], vf, vl, bb
+        )
+        return (w**2).sum() + (a * jnp.arange(36)).sum()
+
+    g1 = jax.grad(loss_fused5, argnums=(0, 1, 2))(
+        v_feat[:5], v_loc[:5], bias[:5]
+    )
+    g2 = jax.grad(loss_ref5, argnums=(0, 1, 2))(v_feat[:5], v_loc[:5], bias[:5])
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-4)

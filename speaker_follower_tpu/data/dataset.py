@@ -143,7 +143,7 @@ def encode_batch(
     heading = np.zeros((b,), dtype=np.int32)
     for i, item in enumerate(batch):
         sid = item["scan"]
-        scan[i] = graph_bank.scan_ids.index(sid)
+        scan[i] = graph_bank.scan_row(sid)
         start_node[i] = graph_bank.local_index(sid, item["path"][0])
         goal_node[i] = graph_bank.local_index(sid, item["path"][-1])
         heading[i] = snap_heading(item["heading"])
@@ -185,7 +185,7 @@ def encode_gold_paths(batch, graph_bank: GraphBank, max_steps: int = 10):
     path_len = np.zeros((b,), dtype=np.int32)
     for i, item in enumerate(batch):
         sid = item["scan"]
-        s = graph_bank.scan_ids.index(sid)
+        s = graph_bank.scan_row(sid)
         cur = graph_bank.local_index(sid, item["path"][0])
         goal = graph_bank.local_index(sid, item["path"][-1])
         p = [cur]

@@ -226,7 +226,7 @@ def write_tsv_feature_bank(path, graph_bank: GraphBank, bank: np.ndarray):
             for local, vid in enumerate(g.node_ids):
                 if not g.included[local]:
                     continue
-                row = bank[graph_bank.offsets[graph_bank.scan_ids.index(sid)] + local]
+                row = bank[graph_bank.offsets[graph_bank.scan_row(sid)] + local]
                 writer.writerow(
                     {
                         "scanId": sid,

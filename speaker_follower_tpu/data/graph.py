@@ -278,8 +278,18 @@ class GraphBank:
     dist: np.ndarray  # (S, Nmax, Nmax) float32, +inf pad
     next_hop: np.ndarray  # (S, Nmax, Nmax) int32, -1 pad
 
+    def scan_row(self, scan_id: str) -> int:
+        """O(1) scan -> row index (scan_ids.index is O(S) and these lookups
+        run per minibatch element in encode_batch)."""
+        try:
+            rows = self._scan_rows
+        except AttributeError:
+            rows = {s: i for i, s in enumerate(self.scan_ids)}
+            object.__setattr__(self, "_scan_rows", rows)
+        return rows[scan_id]
+
     def global_index(self, scan_id: str, viewpoint_id: str) -> int:
-        s = self.scan_ids.index(scan_id)
+        s = self.scan_row(scan_id)
         return int(self.offsets[s]) + self.graphs[scan_id].node_index[viewpoint_id]
 
     def local_index(self, scan_id: str, viewpoint_id: str) -> int:

@@ -41,10 +41,13 @@ class Evaluation:
             self.scans.add(item["scan"])
             for i in range(len(item["instructions"])):
                 self.instr_ids.add("%d_%d" % (item["path_id"], i))
+        # scan -> bank row, hoisted out of _dist: _dist runs per trajectory
+        # element x per instruction, and list.index() is O(num_scans)
+        self._scan_row = {s: i for i, s in enumerate(graph_bank.scan_ids)}
 
     def _dist(self, scan, vp_a, vp_b):
         bank = self.graph_bank
-        s = bank.scan_ids.index(scan)
+        s = self._scan_row[scan]
         g = bank.graphs[scan]
         return float(bank.dist[s, g.node_index[vp_a], g.node_index[vp_b]])
 

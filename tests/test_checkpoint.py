@@ -191,6 +191,7 @@ class TestNpzFormat:
         loaded = ckpt.load_state(path)
         np.testing.assert_array_equal(loaded["params"]["w"], np.ones(3))
 
+    @pytest.mark.slow
     def test_trainer_resume_roundtrip_npz(self, tmp_path):
         """Full trainer save -> load through the npz path continues
         training with identical state (incl. restructured opt_state)."""

@@ -51,6 +51,7 @@ def _make_raw_view(rng, n_det=6, n_feat=2048):
     }
 
 
+@pytest.mark.slow
 def test_bottom_up_detections_to_training_step(tmp_path, graph_bank):
     """Synthetic detector outputs -> BottomUpFeaturizer -> packed bank ->
     cls_prob-weighted pooled pano bank -> env tables -> one finite
@@ -82,7 +83,8 @@ def test_bottom_up_detections_to_training_step(tmp_path, graph_bank):
     v = feat.viewpoint_features(SCAN, covered[0])[5]
     w = np.where(v.no_object_mask, 0.0, v.cls_prob)
     expect = (w / w.sum()) @ v.image_features
-    np.testing.assert_allclose(pooled[gi, 5], expect, rtol=1e-5)
+    # atol covers reduction-order jitter near zero (observed 3e-8)
+    np.testing.assert_allclose(pooled[gi, 5], expect, rtol=1e-5, atol=1e-7)
     # uncovered nodes pool to zero (all-pad detections)
     other = g.node_ids[int(np.nonzero(g.included)[0][5])]
     assert (pooled[graph_bank.global_index(SCAN, other)] == 0).all()

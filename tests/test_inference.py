@@ -114,6 +114,7 @@ def test_forced_rollout_matches_gold_on_teacher_actions(world):
     )
 
 
+@pytest.mark.slow
 def test_rational_follower_end_to_end(world, tmp_path):
     from speaker_follower_tpu.evaluation.follower_eval import Evaluation
     from speaker_follower_tpu.inference.rational_follower import (
@@ -184,6 +185,7 @@ def test_augmentation_output_format(world, tmp_path):
         assert len(item["instructions"]) == 1
         assert isinstance(item["instructions"][0], str)
 
+@pytest.mark.slow
 def test_rational_follower_fused_search_matches_host(world):
     """run_rational_follower with fused_search=True must produce the same
     accuracies and choices as the host-orchestrated state-factored path."""

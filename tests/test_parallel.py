@@ -43,6 +43,7 @@ def _loss_fn(params, tables, batch, rng):
     ).loss
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device(world):
     vocab, ds, bank, tables, params = world
     assert len(jax.devices()) == 8
@@ -97,6 +98,7 @@ def test_pad_batch_to(world):
     assert (padded["scan"][8:] == padded["scan"][7]).all()
 
 
+@pytest.mark.slow
 def test_speaker_trainer_on_mesh(world):
     """SpeakerTrainer with a data-parallel mesh runs and reduces loss."""
     from speaker_follower_tpu.data.text import Tokenizer
@@ -122,6 +124,7 @@ def test_speaker_trainer_on_mesh(world):
     assert np.mean(last) < np.mean(first)
 
 
+@pytest.mark.slow
 def test_follower_trainer_on_mesh(world):
     from speaker_follower_tpu.models.follower import init_follower
     from speaker_follower_tpu.training.trainer import FollowerTrainer, TrainConfig
@@ -139,6 +142,7 @@ def test_follower_trainer_on_mesh(world):
     assert len(results) == len(ds)
 
 
+@pytest.mark.slow
 def test_data_parallel_training_equivalence_50_iters(world):
     """50 full training iterations on the 8-device mesh vs one device:
     the parameter trajectories must track (teacher feedback, no dropout).
@@ -197,6 +201,7 @@ def test_data_parallel_training_equivalence_50_iters(world):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_step_matches_single_device(world):
     """2-D (data=4, model=2) mesh: Megatron-style column-sharded params
     (gate axis over "model") + episode sharding over "data" must reproduce
@@ -253,6 +258,7 @@ def test_tensor_parallel_step_matches_single_device(world):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_follower_trainer_on_2d_mesh(world):
     """FollowerTrainer with a (data=4, model=2) mesh: params come out
     column-sharded, training runs, and loss matches the replicated-mesh
@@ -285,6 +291,7 @@ def test_follower_trainer_on_2d_mesh(world):
     np.testing.assert_allclose(l_dp, l_tp, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_speaker_trainer_on_2d_mesh(world):
     """SpeakerTrainer on the (4, 2) TP+DP mesh runs and model-shards."""
     from speaker_follower_tpu.data.dataset import R2RDataset

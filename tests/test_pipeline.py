@@ -31,6 +31,7 @@ def test_preprocess_bgr():
     assert abs(x[0, 1, 0, 0] - (0 - BGR_MEAN[1])) < 1e-5
 
 
+@pytest.mark.slow
 def test_resnet_shapes():
     params = resnet_init(jax.random.PRNGKey(0), stages=TINY_STAGES, width=8)
     x = jnp.zeros((2, 3, 64, 96))
@@ -40,6 +41,7 @@ def test_resnet_shapes():
     assert res5c.shape == (2, 8 * 8 * 4, 64 // 32, 96 // 32)
 
 
+@pytest.mark.slow
 def test_resnet152_downsampling_ratio():
     """The full-size geometry: 480x640 -> 15x20 res5c (the reference's
     CONV_D1/CONV_D2, precompute_img_features.py:33-34) — checked with the

@@ -142,6 +142,7 @@ def test_trajectory_formatting(world):
         assert abs(tr["score"] - sum(tr["scores"])) < 1e-4
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_matches_f32_closely(world):
     """Mixed precision (compute_dtype='bfloat16'): matmuls run in bf16 but
     loss/softmax stay f32 — the teacher-forced loss must track the f32
@@ -171,6 +172,7 @@ def test_bfloat16_compute_matches_f32_closely(world):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_remat_rollout_matches_exactly(world):
     """remat=True (jax.checkpoint around the scan body) must change only
     peak memory, not semantics: the same PRNG stream is replayed in the

@@ -165,6 +165,7 @@ def test_max_rounds_truncation_warns(world):
         )
 
 
+@pytest.mark.slow
 def test_state_factored_optimality_vs_beam_and_greedy(world):
     """With successor_size=1 the search is strictly best-first; since every
     action log-prob is negative, scores decrease monotonically along paths,
@@ -266,6 +267,7 @@ class TestFusedSearch:
     dict(completion_size=4, successor_size=4, episode_len=10, first_n_ws_key=2),
     dict(completion_size=4, successor_size=4, episode_len=10, first_n_ws_key=3),
 ])
+@pytest.mark.slow
 def test_fused_matches_host_across_configs(world, kw):
     from speaker_follower_tpu.agents import state_factored_fused as sff
 
@@ -281,6 +283,7 @@ def test_fused_matches_host_across_configs(world, kw):
             [(h.node, h.heading, h.elev) for h in ft]
 
 
+@pytest.mark.slow
 def test_fused_overflow_and_truncation_warn(world):
     from speaker_follower_tpu.agents import state_factored_fused as sff
 
@@ -299,6 +302,7 @@ def test_fused_overflow_and_truncation_warn(world):
         )
 
 
+@pytest.mark.slow
 def test_fused_search_data_parallel_mesh(world):
     """The fused search program shards over a data-parallel mesh: batch
     instances are independent, so running it with episode rows sharded
@@ -336,6 +340,7 @@ def test_fused_search_data_parallel_mesh(world):
             assert got == want
 
 
+@pytest.mark.slow
 def test_fused_chunked_dispatch_matches_unchunked(world):
     """max_device_batch chunks the fused search into fixed-shape padded
     dispatches (compile-time control on the real backend); results must be

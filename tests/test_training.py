@@ -38,6 +38,7 @@ def world():
     return vocab, tok, ds, bank, tables
 
 
+@pytest.mark.slow
 def test_follower_training_reduces_loss(world, tmp_path):
     vocab, tok, ds, bank, tables = world
     params = init_follower(
@@ -68,6 +69,7 @@ def test_follower_training_reduces_loss(world, tmp_path):
     assert all("trajectory" in r for r in results.values())
 
 
+@pytest.mark.slow
 def test_speaker_training_reduces_loss(world, tmp_path):
     vocab, tok, ds, bank, tables = world
     params = init_speaker(
@@ -99,6 +101,7 @@ def test_speaker_training_reduces_loss(world, tmp_path):
     assert "words" in some and "score" in some
 
 
+@pytest.mark.slow
 def test_frozen_embedding_stays_frozen(world):
     vocab, tok, ds, bank, tables = world
     glove = np.random.RandomState(0).randn(len(vocab), 16).astype(np.float32)
@@ -124,6 +127,7 @@ def test_frozen_embedding_stays_frozen(world):
     )
 
 
+@pytest.mark.slow
 def test_full_state_checkpoint_resume(world, tmp_path):
     """Resume must be bit-exact: save after k iters, train m more; reload
     and train the same m — identical params."""
@@ -177,6 +181,7 @@ def test_load_glove_word_maps_sub_vocab():
     assert load_glove(None, ["zzz%d" % i for i in range(100)]) is None
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_training_step(world):
     """Both trainers run a bf16-compute train step: finite f32 loss, f32
     params after the update, and the speaker's mixed-precision scoring
@@ -223,6 +228,7 @@ def test_bfloat16_compute_training_step(world):
     np.testing.assert_allclose(float(o16.loss), float(o32.loss), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_pallas_trainer_matches_xla(world):
     """FollowerTrainer with use_pallas (interpret mode on CPU): the fused
     kernel's custom VJP must reproduce the XLA train step's losses on
@@ -257,6 +263,7 @@ def test_pallas_trainer_matches_xla(world):
     np.testing.assert_allclose(l_xla, l_pallas, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_follower_device_interval_matches_per_step(world):
     """The K-step scanned device-resident interval (cfg.device_data) must
     reproduce the per-iteration dispatch path exactly: same minibatch
@@ -306,6 +313,7 @@ def test_follower_device_interval_matches_per_step(world):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_speaker_device_interval_matches_per_step(world):
     """Scanned speaker interval == per-iteration path.  Also proves the
     traced encoder_valid_len (static unroll_len=episode_len + batch-max
@@ -435,6 +443,7 @@ def test_speaker_device_eval_matches_host(world):
     )
 
 
+@pytest.mark.slow
 def test_speaker_remat_matches_exactly(world):
     """Speaker score_instructions with remat=True: identical loss/grads."""
     import jax.numpy as jnp

@@ -31,6 +31,12 @@ def make_arg_parser():
         "(fixed-capacity tables) instead of the host-orchestrated loop",
     )
     parser.add_argument("--state_first_n_ws_key", type=int, default=4)
+    parser.add_argument(
+        "--speaker_score_batch", type=int, default=None,
+        help="chunk speaker replay+scoring dispatches to this many "
+        "candidates (use 16 on many-scan worlds; see "
+        "inference.rational_follower.speaker_score_candidates)",
+    )
     parser.add_argument("--physical_traversal", action="store_true")
     parser.add_argument("--output_file")
     parser.add_argument("--eval_file")
@@ -80,6 +86,7 @@ def validate_entry_point(args):
             use_glove=use_glove,
             output_file=output_file,
             eval_file=eval_file,
+            speaker_score_batch=args.speaker_score_batch,
         )
         pprint.pprint(acc)
         weight, summary = max(acc.items(), key=lambda p: p[1]["success_rate"])

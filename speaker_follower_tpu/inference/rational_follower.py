@@ -46,10 +46,51 @@ def speaker_score_candidates(
     max_instruction_length: int = 80,
     episode_len: int = EPISODE_LEN,
     use_glove: bool = True,
+    max_device_batch: int | None = None,
+    _forced_unroll: int | None = None,
 ):
     """Teacher-forced speaker log-likelihood of each candidate's own
-    instruction given its trajectory (rational_follower.py:67-69)."""
+    instruction given its trajectory (rational_follower.py:67-69).
+
+    ``max_device_batch``: dispatch the replay+scoring programs in
+    fixed-shape chunks of this many candidates (compiled once, reused).
+    On the experimental axon backend the forced-replay program faults the
+    TPU worker at batch >= ~24 when the env tables span many scans
+    (61-scan world: B=16 runs, B=24 kills the worker — data-independent,
+    reproduced on zero features); 16 is the known-safe chunk.  None =
+    one dispatch (fine on few-scan worlds, fastest over a tunnel).
+
+    All chunks share one batch-global unroll length, so chunking is
+    value-exact vs a single dispatch (the speaker encoder follows the
+    reference's no-length-masking unroll — model.py:437-457 — so scores
+    depend on the unroll length; see models/speaker.py).
+    """
     m = len(candidates_flat)
+
+    def unroll_of(cands):
+        # path_len after replay == min(len(actions), episode_len); computed
+        # host-side so no device sync sits between the (large) search
+        # program and the retry-wrapped scoring dispatch
+        u = max((min(len(c["actions"]), episode_len) for c in cands),
+                default=1)
+        return min(u + (u % 2), episode_len)  # even buckets: <=5 variants
+
+    if max_device_batch is not None and m > max_device_batch:
+        unroll = unroll_of(candidates_flat)
+        out = []
+        for lo in range(0, m, max_device_batch):
+            chunk = candidates_flat[lo : lo + max_device_batch]
+            # pad the tail chunk by repeating its first candidate so every
+            # dispatch reuses the one compiled shape
+            padded = chunk + [chunk[0]] * (max_device_batch - len(chunk))
+            scores = speaker_score_candidates(
+                speaker_params, tables, padded,
+                max_instruction_length=max_instruction_length,
+                episode_len=episode_len, use_glove=use_glove,
+                _forced_unroll=unroll,
+            )
+            out.extend(scores[: len(chunk)])
+        return np.asarray(out)
     cap = _pad_pow2(m)
     scan = np.zeros(cap, np.int32)
     start = np.zeros(cap, np.int32)
@@ -74,18 +115,17 @@ def speaker_score_candidates(
         "forced_actions": jnp.asarray(actions),
         "forced_len": jnp.asarray(lens),
     }
-    gold = sa.forced_rollout(tables, batch, episode_len=episode_len)
     seq, _, _ = batch_instructions(
         encodings, max_instruction_length, reverse=False
     )
-    # bucket the static unroll length to even values: bounds jit recompiles
-    # to at most 5 variants (padded steps are zero-embedding LSTM updates,
-    # identical for every candidate scored in the same call)
-    unroll = int(np.asarray(gold.path_len[:m]).max()) if m else 1
-    unroll = min(unroll + (unroll % 2), episode_len)
     from ..agents.state_factored import _retry_transient
 
+    unroll = _forced_unroll if _forced_unroll is not None else (
+        unroll_of(candidates_flat) if m else 1
+    )
+
     def run_scoring():
+        gold = sa.forced_rollout(tables, batch, episode_len=episode_len)
         out = sa.score_instructions(
             speaker_params, gold, jnp.asarray(seq), jax.random.PRNGKey(0),
             feedback="teacher", instruction_len=max_instruction_length,
@@ -166,9 +206,14 @@ def run_rational_follower(
     fused_search: bool = False,
     output_file=None,
     eval_file=None,
+    speaker_score_batch: int | None = None,
 ):
     """Returns accuracies_by_weight, index_counts_by_weight
-    (rational_follower.py:11-195)."""
+    (rational_follower.py:11-195).
+
+    ``speaker_score_batch``: chunk the speaker replay+scoring dispatches
+    (see speaker_score_candidates; needed on many-scan worlds where the
+    axon backend faults on large replay batches)."""
     if physical_traversal and not state_factored_search:
         raise ValueError("physical_traversal requires state_factored_search")
     dataset.reset_epoch()
@@ -202,6 +247,7 @@ def run_rational_follower(
         speaker_scores = speaker_score_candidates(
             speaker_params, tables, flat,
             max_instruction_length=max_instruction_length, use_glove=use_glove,
+            max_device_batch=speaker_score_batch,
         )
         for cand, s in zip(flat, speaker_scores):
             cand["follower_score"] = cand["score"]

@@ -264,3 +264,119 @@ def convert_torch_speaker(enc_path: str, dec_path: str, use_input_att_feed=False
             "linear_out": {"w": _t(dec, "attention_layer.linear_out.weight")},
         }
     return {"encoder": encoder, "decoder": decoder}
+
+# ---------------------------------------------------------------------------
+# Conversion TO released-PyTorch format (exact inverses of convert_torch_*):
+# lets reference users consume models trained here with the reference's
+# follower.load()/speaker.load() (follower.py:1030-1035, speaker.py:405-410),
+# and lets scripts/parity_eval.py dry-run the release-checkpoint path by
+# synthesizing torch checkpoints with the reference's key names/shapes.
+# ---------------------------------------------------------------------------
+
+
+def _tt(arr):
+    import torch
+
+    return torch.from_numpy(np.array(arr, dtype=np.float32))  # copy: torch warns on read-only views
+
+
+def export_torch_follower(params, enc_path: str, dec_path: str) -> None:
+    """Write torch state_dicts named exactly like the reference's
+    EncoderLSTM/AttnDecoderLSTM (model.py:43-104, 355-397)."""
+    import torch
+
+    e, d = params["encoder"], params["decoder"]
+    enc = {
+        "embedding.weight": _tt(e["embedding"]["w"]),
+        "lstm.weight_ih_l0": _tt(e["lstm_fwd"]["w_ih"]),
+        "lstm.weight_hh_l0": _tt(e["lstm_fwd"]["w_hh"]),
+        "lstm.bias_ih_l0": _tt(e["lstm_fwd"]["b_ih"]),
+        "lstm.bias_hh_l0": _tt(e["lstm_fwd"]["b_hh"]),
+        "encoder2decoder.weight": _tt(e["encoder2decoder"]["w"]),
+        "encoder2decoder.bias": _tt(e["encoder2decoder"]["b"]),
+    }
+    if "lstm_bwd" in e:
+        enc.update({
+            "lstm.weight_ih_l0_reverse": _tt(e["lstm_bwd"]["w_ih"]),
+            "lstm.weight_hh_l0_reverse": _tt(e["lstm_bwd"]["w_hh"]),
+            "lstm.bias_ih_l0_reverse": _tt(e["lstm_bwd"]["b_ih"]),
+            "lstm.bias_hh_l0_reverse": _tt(e["lstm_bwd"]["b_hh"]),
+        })
+    dec = {
+        "lstm.weight_ih": _tt(d["lstm"]["w_ih"]),
+        "lstm.weight_hh": _tt(d["lstm"]["w_hh"]),
+        "lstm.bias_ih": _tt(d["lstm"]["b_ih"]),
+        "lstm.bias_hh": _tt(d["lstm"]["b_hh"]),
+        "visual_attention_layer.linear_in_h.weight": _tt(
+            d["visual_attention"]["linear_in_h"]["w"]),
+        "visual_attention_layer.linear_in_h.bias": _tt(
+            d["visual_attention"]["linear_in_h"]["b"]),
+        "visual_attention_layer.linear_in_v.weight": _tt(
+            d["visual_attention"]["linear_in_v"]["w"]),
+        "visual_attention_layer.linear_in_v.bias": _tt(
+            d["visual_attention"]["linear_in_v"]["b"]),
+        "text_attention_layer.linear_in.weight": _tt(
+            d["text_attention"]["linear_in"]["w"]),
+        "text_attention_layer.linear_out.weight": _tt(
+            d["text_attention"]["linear_out"]["w"]),
+        "decoder2action.linear_in_h.weight": _tt(
+            d["decoder2action"]["linear_in_h"]["w"]),
+        "decoder2action.linear_in_h.bias": _tt(
+            d["decoder2action"]["linear_in_h"]["b"]),
+        "decoder2action.linear_in_a.weight": _tt(
+            d["decoder2action"]["linear_in_a"]["w"]),
+        "decoder2action.linear_in_a.bias": _tt(
+            d["decoder2action"]["linear_in_a"]["b"]),
+        "decoder2action.linear_out.weight": _tt(
+            d["decoder2action"]["linear_out"]["w"]),
+        "decoder2action.linear_out.bias": _tt(
+            d["decoder2action"]["linear_out"]["b"]),
+    }
+    torch.save(enc, enc_path)
+    torch.save(dec, dec_path)
+
+
+def export_torch_speaker(params, enc_path: str, dec_path: str,
+                         use_input_att_feed: bool = False) -> None:
+    """Write torch state_dicts named exactly like the reference's
+    SpeakerEncoderLSTM/SpeakerDecoderLSTM (model.py:405-519)."""
+    import torch
+
+    e, d = params["encoder"], params["decoder"]
+    enc = {
+        "visual_attention_layer.linear_in_h.weight": _tt(
+            e["visual_attention"]["linear_in_h"]["w"]),
+        "visual_attention_layer.linear_in_h.bias": _tt(
+            e["visual_attention"]["linear_in_h"]["b"]),
+        "visual_attention_layer.linear_in_v.weight": _tt(
+            e["visual_attention"]["linear_in_v"]["w"]),
+        "visual_attention_layer.linear_in_v.bias": _tt(
+            e["visual_attention"]["linear_in_v"]["b"]),
+        "lstm.weight_ih": _tt(e["lstm"]["w_ih"]),
+        "lstm.weight_hh": _tt(e["lstm"]["w_hh"]),
+        "lstm.bias_ih": _tt(e["lstm"]["b_ih"]),
+        "lstm.bias_hh": _tt(e["lstm"]["b_hh"]),
+        "encoder2decoder.weight": _tt(e["encoder2decoder"]["w"]),
+        "encoder2decoder.bias": _tt(e["encoder2decoder"]["b"]),
+    }
+    dec = {
+        "embedding.weight": _tt(d["embedding"]["w"]),
+        "lstm.weight_ih": _tt(d["lstm"]["w_ih"]),
+        "lstm.weight_hh": _tt(d["lstm"]["w_hh"]),
+        "lstm.bias_ih": _tt(d["lstm"]["b_ih"]),
+        "lstm.bias_hh": _tt(d["lstm"]["b_hh"]),
+        "decoder2action.weight": _tt(d["decoder2action"]["w"]),
+        "decoder2action.bias": _tt(d["decoder2action"]["b"]),
+    }
+    if use_input_att_feed:
+        dec["attention_layer.linear_in.weight"] = _tt(
+            d["attention"]["linear_in"]["w"])
+        dec["output_l1.weight"] = _tt(d["output_l1"]["w"])
+        dec["output_l1.bias"] = _tt(d["output_l1"]["b"])
+    else:
+        dec["attention_layer.linear_in.weight"] = _tt(
+            d["attention"]["linear_in"]["w"])
+        dec["attention_layer.linear_out.weight"] = _tt(
+            d["attention"]["linear_out"]["w"])
+    torch.save(dec, dec_path)
+    torch.save(enc, enc_path)

@@ -219,3 +219,43 @@ def test_rational_follower_fused_search_matches_host(world):
         for k, v in acc_h[w].items():
             np.testing.assert_allclose(v, acc_f[w][k], atol=1e-6, err_msg=f"{w}/{k}")
     assert counts_h == counts_f
+
+
+def test_speaker_score_candidates_chunked_matches_unchunked(world):
+    """max_device_batch chunking (the axon large-replay-batch workaround)
+    must be a pure dispatch strategy: same scores as one dispatch,
+    including tail-chunk padding."""
+    from speaker_follower_tpu.inference.rational_follower import (
+        speaker_score_candidates,
+    )
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    rng = np.random.RandomState(7)
+    g0 = bank.graphs[bank.scan_ids[0]]
+    inc = np.nonzero(g0.included & (g0.adj_count > 0))[0]
+    cands = []
+    for j in range(11):  # 11 % 4 != 0: exercises the padded tail chunk
+        node = int(inc[rng.randint(len(inc))])
+        n_act = rng.randint(1, 5)
+        acts = [int(rng.randint(1, g0.adj_count[node] + 1))] + [
+            0
+        ] * (n_act - 1)
+        cands.append({
+            "_scan_ix": 0,
+            "_start_node": node,
+            "_heading": int(rng.randint(12)),
+            "actions": acts,
+            "instr_encoding": rng.randint(
+                4, len(vocab), size=rng.randint(3, 10)
+            ).astype(np.int32),
+        })
+    one = speaker_score_candidates(
+        s_params, tables, cands, max_instruction_length=MAXLEN,
+        use_glove=False,
+    )
+    chunked = speaker_score_candidates(
+        s_params, tables, cands, max_instruction_length=MAXLEN,
+        use_glove=False, max_device_batch=4,
+    )
+    assert np.isfinite(one).all()
+    np.testing.assert_allclose(chunked, one, rtol=2e-5, atol=1e-5)

@@ -96,6 +96,7 @@ class SpeakerOutput(NamedTuple):
         "use_input_att_feed",
         "compute_dtype",
         "remat",
+        "fused_teacher",
     ),
 )
 def score_instructions(
@@ -114,6 +115,7 @@ def score_instructions(
     compute_dtype: str | None = None,
     remat: bool = False,
     encoder_valid_len=None,
+    fused_teacher: bool = True,
 ) -> SpeakerOutput:
     """Teacher/argmax/sample decode with NLL loss
     (speaker.py:123-202 _score_obs_actions_and_instructions).
@@ -125,6 +127,17 @@ def score_instructions(
     reference's dynamic batch-max encoder unroll under a static
     ``unroll_len`` (see speaker_encoder_apply) so callers need not sync
     max(path_len) to the host to pick unroll_len.
+
+    ``fused_teacher``: with teacher forcing the word sequence is known in
+    advance, so the 80-step sequential decoder loop collapses into ONE
+    LSTM scan over the whole instruction plus three batched matmuls
+    (attention scores, attention mix, vocab logits) — the MXU sees
+    (B*L, .) matmuls instead of 80 tiny (B, .) ones.  Values equal the
+    step loop exactly in deterministic mode (tested); under dropout only
+    the RNG realization differs (one mask draw over (B, L, .) instead of
+    L per-step draws).  Applies to feedback="teacher" without
+    input-att-feed; other modes keep the sequential loop (the next input
+    depends on the previous step's logits).
     """
     if compute_dtype is not None:
         cd = jnp.dtype(compute_dtype)
@@ -143,6 +156,13 @@ def score_instructions(
         valid_len=encoder_valid_len,
     )
     path_mask = gold.path_mask[:, :unroll_len]
+
+    if fused_teacher and feedback == "teacher" and not use_input_att_feed:
+        return _score_teacher_batched(
+            params["decoder"], ctx, path_mask, h_t, c_t, instr_seq, rng,
+            dropout_ratio=dropout_ratio, use_glove=use_glove,
+            deterministic=deterministic,
+        )
 
     w0 = jnp.full((b,), BOS_IDX, jnp.int32)
     ended0 = jnp.zeros((b,), bool)
@@ -207,6 +227,78 @@ def score_instructions(
     return SpeakerOutput(
         loss=losses.sum(),
         words=to_bl(words),
+        word_scores=w_scores,
+        active=live,
+        score=(w_scores * live).sum(axis=1),
+    )
+
+
+def _score_teacher_batched(
+    p_dec, ctx, path_mask, h_t, c_t, instr_seq, rng, *,
+    dropout_ratio, use_glove, deterministic,
+):
+    """Teacher-forced decode with the time loop batched out (see
+    score_instructions ``fused_teacher``).  The decoder LSTM input is the
+    word embedding alone (model.py:487-505 default variant), so with the
+    targets known the recurrence is one masked_lstm_scan and everything
+    else (SoftDot attention + vocab logits, model.py:107-143/516-518) is a
+    batched matmul over all L positions at once."""
+    from ..models.attention import NEG_INF
+    from ..models.core import (
+        dropout as _dropout,
+        embedding as _embedding,
+        linear as _linear,
+        masked_lstm_scan,
+    )
+
+    b, l = instr_seq.shape
+    rng, k_w, k_h = jax.random.split(rng, 3)
+
+    # inputs: BOS then the target words shifted right (w_next == target)
+    words_in = jnp.concatenate(
+        [jnp.full((b, 1), BOS_IDX, jnp.int32), instr_seq[:, :-1]], axis=1
+    )
+    embeds = _embedding(p_dec["embedding"], words_in)  # (B, L, E)
+    if not use_glove:
+        embeds = _dropout(k_w, embeds, dropout_ratio, deterministic)
+
+    # the whole word chain as one LSTM scan (all L steps run, as in the
+    # reference's fixed-range loop; ended-ness only affects the outputs)
+    full = jnp.full((b,), l, jnp.int32)
+    h_seq, _ = masked_lstm_scan(p_dec["lstm"], embeds, full, h_t, c_t)
+    h_drop = _dropout(k_h, h_seq, dropout_ratio, deterministic)  # (B, L, H)
+
+    # SoftDotAttention for every position at once (attention.py:27-39
+    # semantics: the output concat uses the dropped query)
+    pa = p_dec["attention"]
+    target_q = _linear(pa["linear_in"], h_drop)  # (B, L, H)
+    scores = jnp.einsum("bth,blh->blt", ctx, target_q)  # (B, L, T)
+    scores = jnp.where(path_mask[:, None, :], NEG_INF, scores)
+    alpha = jax.nn.softmax(scores, axis=-1)
+    weighted = jnp.einsum("blt,bth->blh", alpha, ctx)
+    h_tilde = jnp.tanh(
+        _linear(pa["linear_out"], jnp.concatenate([weighted, h_drop], -1))
+    )
+    logit = _linear(p_dec["decoder2action"], h_tilde)  # (B, L, V)
+    log_probs = jax.nn.log_softmax(logit.astype(jnp.float32), axis=-1)
+
+    tgt_logp = jnp.take_along_axis(
+        log_probs, instr_seq[..., None], axis=2
+    )[..., 0]  # (B, L)
+    valid = instr_seq != PAD_IDX
+    count_t = valid.sum(axis=0)  # (L,)
+    loss_t = jnp.where(
+        count_t > 0,
+        -(tgt_logp * valid).sum(axis=0) / jnp.maximum(count_t, 1),
+        0.0,
+    )
+    w_scores = jnp.where(valid, tgt_logp, 0.0)
+    # live at step t = no EOS among the chosen words before t
+    eos = instr_seq == EOS_IDX
+    live = (jnp.cumsum(eos, axis=1) - eos) == 0
+    return SpeakerOutput(
+        loss=loss_t.sum(),
+        words=instr_seq,
         word_scores=w_scores,
         active=live,
         score=(w_scores * live).sum(axis=1),

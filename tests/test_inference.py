@@ -259,3 +259,48 @@ def test_speaker_score_candidates_chunked_matches_unchunked(world):
     )
     assert np.isfinite(one).all()
     np.testing.assert_allclose(chunked, one, rtol=2e-5, atol=1e-5)
+
+
+def test_fused_teacher_scoring_matches_step_loop(world):
+    """score_instructions(fused_teacher=True) — one LSTM scan + batched
+    attention — must equal the sequential decoder loop exactly in
+    deterministic mode (loss, words, word_scores, active, score)."""
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    enc, gold, unroll = _gold(world)
+    kw = dict(
+        feedback="teacher", instruction_len=MAXLEN, unroll_len=unroll,
+        deterministic=True, use_glove=False,
+    )
+    loop = sa.score_instructions(
+        s_params, gold, jnp.asarray(enc["seq"]), jax.random.PRNGKey(0),
+        fused_teacher=False, **kw,
+    )
+    fused = sa.score_instructions(
+        s_params, gold, jnp.asarray(enc["seq"]), jax.random.PRNGKey(0),
+        fused_teacher=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(fused.words), np.asarray(loop.words))
+    np.testing.assert_array_equal(np.asarray(fused.active), np.asarray(loop.active))
+    np.testing.assert_allclose(
+        np.asarray(fused.word_scores), np.asarray(loop.word_scores),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.score), np.asarray(loop.score), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(fused.loss), float(loop.loss), rtol=1e-5, atol=1e-5
+    )
+
+    # gradients flow and match the loop's (training path)
+    def loss_of(fused_flag, p):
+        return sa.score_instructions(
+            p, gold, jnp.asarray(enc["seq"]), jax.random.PRNGKey(0),
+            fused_teacher=fused_flag, **kw,
+        ).loss
+
+    g_loop = jax.grad(lambda p: loss_of(False, p))(s_params)
+    g_fused = jax.grad(lambda p: loss_of(True, p))(s_params)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_loop)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)

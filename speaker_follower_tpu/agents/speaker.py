@@ -97,6 +97,8 @@ class SpeakerOutput(NamedTuple):
         "compute_dtype",
         "remat",
         "fused_teacher",
+        "use_pallas",
+        "pallas_interpret",
     ),
 )
 def score_instructions(
@@ -116,6 +118,8 @@ def score_instructions(
     remat: bool = False,
     encoder_valid_len=None,
     fused_teacher: bool = True,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> SpeakerOutput:
     """Teacher/argmax/sample decode with NLL loss
     (speaker.py:123-202 _score_obs_actions_and_instructions).
@@ -161,7 +165,8 @@ def score_instructions(
         return _score_teacher_batched(
             params["decoder"], ctx, path_mask, h_t, c_t, instr_seq, rng,
             dropout_ratio=dropout_ratio, use_glove=use_glove,
-            deterministic=deterministic,
+            deterministic=deterministic, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
         )
 
     w0 = jnp.full((b,), BOS_IDX, jnp.int32)
@@ -236,6 +241,7 @@ def score_instructions(
 def _score_teacher_batched(
     p_dec, ctx, path_mask, h_t, c_t, instr_seq, rng, *,
     dropout_ratio, use_glove, deterministic,
+    use_pallas=False, pallas_interpret=False,
 ):
     """Teacher-forced decode with the time loop batched out (see
     score_instructions ``fused_teacher``).  The decoder LSTM input is the
@@ -265,7 +271,13 @@ def _score_teacher_batched(
     # the whole word chain as one LSTM scan (all L steps run, as in the
     # reference's fixed-range loop; ended-ness only affects the outputs)
     full = jnp.full((b,), l, jnp.int32)
-    h_seq, _ = masked_lstm_scan(p_dec["lstm"], embeds, full, h_t, c_t)
+    if use_pallas:
+        from ..ops.lstm import masked_lstm_scan_pallas
+
+        scan = partial(masked_lstm_scan_pallas, interpret=pallas_interpret)
+    else:
+        scan = masked_lstm_scan
+    h_seq, _ = scan(p_dec["lstm"], embeds, full, h_t, c_t)
     h_drop = _dropout(k_h, h_seq, dropout_ratio, deterministic)  # (B, L, H)
 
     # SoftDotAttention for every position at once (attention.py:27-39

@@ -581,8 +581,8 @@ class SpeakerTrainer:
     def _loss_fn(self, params, gold, instr_seq, unroll_len, rng,
                  encoder_valid_len=None):
         cfg = self.cfg
-        # (no use_pallas here: the fused kernel is follower pano
-        # attention; the speaker's per-step visual attention differs)
+        # use_pallas drives the fused-teacher word chain (ops/lstm.py);
+        # the follower's pano-attention kernel does not apply here
         out = sa.score_instructions(
             params, gold, instr_seq, rng,
             feedback="teacher",
@@ -594,6 +594,8 @@ class SpeakerTrainer:
             use_glove=cfg.use_glove,
             compute_dtype=cfg.compute_dtype,
             encoder_valid_len=encoder_valid_len,
+            use_pallas=cfg.use_pallas,
+            pallas_interpret=cfg.pallas_interpret,
         )
         return out.loss
 

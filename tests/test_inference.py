@@ -304,3 +304,26 @@ def test_fused_teacher_scoring_matches_step_loop(world):
     for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_loop)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=2e-5)
+
+
+def test_fused_teacher_pallas_lstm_matches_xla(world):
+    """The Pallas word-chain (ops/lstm.py) inside the fused teacher decode
+    (interpret mode on CPU) matches the XLA scan."""
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    enc, gold, unroll = _gold(world)
+    kw = dict(
+        feedback="teacher", instruction_len=MAXLEN, unroll_len=unroll,
+        deterministic=True, use_glove=False,
+    )
+    xla = sa.score_instructions(
+        s_params, gold, jnp.asarray(enc["seq"]), jax.random.PRNGKey(0), **kw
+    )
+    pal = sa.score_instructions(
+        s_params, gold, jnp.asarray(enc["seq"]), jax.random.PRNGKey(0),
+        use_pallas=True, pallas_interpret=True, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pal.score), np.asarray(xla.score), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(float(pal.loss), float(xla.loss),
+                               rtol=1e-5, atol=1e-5)

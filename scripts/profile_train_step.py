@@ -58,7 +58,11 @@ def main():
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--compute", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--speaker", action="store_true",
+                    help="profile the speaker train step instead")
     args = ap.parse_args()
+    if args.speaker:
+        return speaker_main(args)
     batch_size = args.batch
 
     import jax
@@ -217,3 +221,81 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def speaker_main(args):
+    """--speaker: times the speaker train step (gold rollout + teacher
+    scoring + grads) with the fused-teacher batched decode vs the
+    sequential step loop, and the Pallas word chain on top."""
+    import jax
+    import jax.numpy as jnp
+
+    from speaker_follower_tpu.agents import speaker as sa
+    from speaker_follower_tpu.data.graph import load_graph_bank
+    from speaker_follower_tpu.env import vecenv
+    from speaker_follower_tpu.models.speaker import init_speaker
+
+    batch_size = args.batch
+    with open("/root/reference/connectivity/scans.txt") as f:
+        scans = [line.strip() for line in f if line.strip()]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bank = load_graph_bank(
+        scans, "/root/reference/connectivity",
+        cache_dir=os.path.join(repo, ".cache"),
+    )
+    import jax.random as jr
+
+    feats = jr.normal(
+        jr.PRNGKey(0), (bank.total_nodes, 36, FEAT_DIM), jnp.bfloat16
+    )
+    tables = vecenv.make_env_tables(bank, feats, pad_views=args.pallas)
+    params = init_speaker(jr.PRNGKey(0), vocab_size=992)
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.RandomState(0)
+    scan_ix = rng.randint(len(scans), size=batch_size).astype(np.int32)
+    node = np.zeros(batch_size, np.int32)
+    goal = np.zeros(batch_size, np.int32)
+    for i in range(batch_size):
+        g = bank.graphs[scans[scan_ix[i]]]
+        inc = np.nonzero(g.included & (g.adj_count > 0))[0]
+        node[i], goal[i] = inc[rng.randint(len(inc), size=2)]
+    seq = rng.randint(4, 900, size=(batch_size, MAX_LEN)).astype(np.int32)
+    lengths = rng.randint(10, MAX_LEN, size=batch_size)
+    for i, l in enumerate(lengths):
+        seq[i, l - 1] = 2
+        seq[i, l:] = 0
+    batch = {
+        "scan": jnp.asarray(scan_ix),
+        "start_node": jnp.asarray(node),
+        "goal_node": jnp.asarray(goal),
+        "heading": jnp.asarray(rng.randint(12, size=batch_size).astype(np.int32)),
+        "seq": jnp.asarray(seq),
+    }
+    key = jax.random.PRNGKey(1)
+
+    def make_loss(fused, pallas):
+        def loss_fn(p, t, b, k):
+            gold = sa.gold_rollout(t, b, episode_len=EPISODE_LEN)
+            out = sa.score_instructions(
+                p, gold, b["seq"], k, feedback="teacher",
+                instruction_len=MAX_LEN, unroll_len=EPISODE_LEN,
+                deterministic=False, dropout_ratio=0.5, use_glove=True,
+                fused_teacher=fused, use_pallas=pallas,
+            )
+            return out.loss
+        return loss_fn
+
+    for name, fused, pallas in (
+        ("loop", False, False),
+        ("fused-teacher", True, False),
+        ("fused-teacher+pallas", True, args.pallas),
+    ):
+        if pallas and not args.pallas:
+            continue
+        loss_fn = make_loss(fused, pallas)
+        fwd = jax.jit(loss_fn)
+        timeit(f"speaker fwd        [{name}]", fwd, params, tables, batch, key)
+        vg = jax.jit(lambda p, t, b, k, f=loss_fn: _scalarize(
+            jax.grad(f)(p, t, b, k)))
+        timeit(f"speaker fwd+bwd    [{name}]", vg, params, tables, batch, key)

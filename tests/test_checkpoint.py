@@ -256,3 +256,40 @@ def test_convert_cli_script(tmp_path, monkeypatch):
         np.asarray(params["decoder"]["lstm"]["w_hh"]),
         dec["lstm.weight_hh"].numpy(), atol=1e-6,
     )
+
+
+def test_torch_export_convert_roundtrip(tmp_path):
+    """export_torch_* -> convert_torch_* must reproduce the exact pytree
+    (the parity harness synthesizes release-format checkpoints this way,
+    and users export trained models for the reference's load())."""
+    import jax
+
+    from speaker_follower_tpu.models.follower import init_follower
+    from speaker_follower_tpu.models.speaker import init_speaker
+    from speaker_follower_tpu.training import checkpoint as ckpt
+
+    f = init_follower(jax.random.PRNGKey(0), vocab_size=50,
+                      word_embedding_size=12, hidden_size=16,
+                      action_embedding_size=24, feature_size=24,
+                      bidirectional=True)
+    ckpt.export_torch_follower(f, str(tmp_path / "f_enc"), str(tmp_path / "f_dec"))
+    f2 = ckpt.convert_torch_follower(str(tmp_path / "f_enc"), str(tmp_path / "f_dec"))
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(lambda x: None, f)
+    ) == jax.tree_util.tree_structure(jax.tree.map(lambda x: None, f2))
+    for a, b in zip(jax.tree.leaves(f), jax.tree.leaves(f2)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+    for feed in (False, True):
+        s = init_speaker(jax.random.PRNGKey(1), vocab_size=50,
+                         action_embedding_size=24, feature_size=24,
+                         word_embedding_size=12, hidden_size=16,
+                         use_input_att_feed=feed)
+        ckpt.export_torch_speaker(s, str(tmp_path / "s_enc"),
+                                  str(tmp_path / "s_dec"),
+                                  use_input_att_feed=feed)
+        s2 = ckpt.convert_torch_speaker(str(tmp_path / "s_enc"),
+                                        str(tmp_path / "s_dec"),
+                                        use_input_att_feed=feed)
+        for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a, np.float32), b)

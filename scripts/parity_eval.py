@@ -117,7 +117,18 @@ def main():
                          "split (parity verdicts are then indicative only)")
     ap.add_argument("--skip_greedy", action="store_true",
                     help="run only the pragmatic stage")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the jax platform (the sitecustomize-latched "
+                         "axon backend ignores JAX_PLATFORMS; cpu is useful "
+                         "for dry-run smokes when the tunnel is flaky)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update(
+            "jax_platforms",
+            {"cpu": "cpu", "tpu": "axon"}[args.platform],
+        )
 
     need, missing = _missing_artifacts(args.beam_size)
     dry_run = bool(missing) or args.force_dry_run

@@ -78,9 +78,17 @@ class _SFState(NamedTuple):
     thead: jnp.ndarray  # (B, K, T1) int32
     telev: jnp.ndarray  # (B, K, T1) int32
     tact: jnp.ndarray  # (B, K, T1) int32 action leading to entry t (-1 root)
+    hptr: jnp.ndarray  # (B, K) int32 flat index into the decode history:
+    #   entry's decoder state = hist_h/c[:, ptr // S, ptr % S].  Successors
+    #   of one parent share its post-decode (h1, c1), so states are stored
+    #   once per (round, selection-slot) APPEND-ONLY instead of per table
+    #   entry — (B, R+1, S, H) history vs (B, K, H) tables: 3x smaller at
+    #   the production successor_size=1 config, and the per-round update is
+    #   a dynamic_update_slice append instead of a (B, K, H) scatter.
+    #   Slot 0 holds the encoder's (h0, c0) (the root entry's pointer).
+    hist_h: jnp.ndarray  # (B, R+1, S, H) f32
+    hist_c: jnp.ndarray  # (B, R+1, S, H) f32
     tascore: jnp.ndarray  # (B, K, T1) f32 log-prob of that action
-    h: jnp.ndarray  # (B, K, H) f32
-    c: jnp.ndarray  # (B, K, H) f32
     # completion table (key-deduplicated)
     comp_in_use: jnp.ndarray  # (B, CK) bool
     comp_score: jnp.ndarray  # (B, CK) f32
@@ -184,8 +192,13 @@ def _search_program(
         telev=zKT(jnp.int32).at[:, 0, 0].set(1),
         tact=zKT(jnp.int32).at[:, 0, 0].set(-1),
         tascore=zKT(jnp.float32),
-        h=jnp.zeros((b, K, hdim)).at[:, 0].set(h0),
-        c=jnp.zeros((b, K, hdim)).at[:, 0].set(c0),
+        hptr=zK(jnp.int32),
+        hist_h=jnp.zeros((b, R + 1, S, hdim)).at[:, 0].set(
+            h0[:, None, :].astype(jnp.float32)
+        ),
+        hist_c=jnp.zeros((b, R + 1, S, hdim)).at[:, 0].set(
+            c0[:, None, :].astype(jnp.float32)
+        ),
         comp_in_use=zC(bool),
         comp_score=jnp.full((b, CK), BAD),
         comp_node=zC(jnp.int32),
@@ -310,8 +323,11 @@ def _search_program(
             axis=1,
         )[:, 0]
         u = jnp.where((act_f >= 0)[:, None], u, 0.0)
-        hh = flat(st.h[bi, sel_idx])
-        cc = flat(st.c[bi, sel_idx])
+        ptr = st.hptr[bi, sel_idx]  # (B, S) flat history index
+        hist_flat_h = st.hist_h.reshape(b, (R + 1) * S, hdim)
+        hist_flat_c = st.hist_c.reshape(b, (R + 1) * S, hdim)
+        hh = flat(hist_flat_h[bi, ptr]).astype(ctx.dtype)
+        cc = flat(hist_flat_c[bi, ptr]).astype(ctx.dtype)
         ctx_f = ctx[jnp.broadcast_to(jnp.arange(b)[:, None], (b, S)).reshape(-1)]
         mask_f = seq_mask[jnp.broadcast_to(jnp.arange(b)[:, None], (b, S)).reshape(-1)]
         h1, c1, _, logit, _ = fmodels.decoder_step(
@@ -365,8 +381,20 @@ def _search_program(
         s_telev = jnp.where(at_t, s_elev[..., None], pt_e)
         s_tact = jnp.where(at_t, s_act[..., None], pt_a)
         s_tascore = jnp.where(at_t, s_lp[..., None], pt_as)
-        s_h = h1.reshape(b, S, hdim)[:, parent_s % S]  # (B, SA, H)
-        s_c = c1.reshape(b, S, hdim)[:, parent_s % S]
+        # append this round's decode states once; successors point at them
+        hist_h = jax.lax.dynamic_update_slice(
+            st.hist_h,
+            h1.reshape(b, 1, S, hdim).astype(jnp.float32),
+            (0, st.round + 1, 0, 0),
+        )
+        hist_c = jax.lax.dynamic_update_slice(
+            st.hist_c,
+            c1.reshape(b, 1, S, hdim).astype(jnp.float32),
+            (0, st.round + 1, 0, 0),
+        )
+        s_ptr = jnp.broadcast_to(
+            (st.round + 1) * S + (jnp.arange(SA) // A) % S, (b, SA)
+        ).astype(jnp.int32)
 
         # ---- dedup successors among themselves (same key+namespace):
         # keep the best score; ties keep the lowest index (the reference
@@ -419,14 +447,13 @@ def _search_program(
         telev = _masked_set(st.telev, bi, tgt_k, s_telev, write_k)
         tact = _masked_set(st.tact, bi, tgt_k, s_tact, write_k)
         tascore = _masked_set(st.tascore, bi, tgt_k, s_tascore, write_k)
-        h = _masked_set(st.h, bi, tgt_k, s_h, write_k)
-        c = _masked_set(st.c, bi, tgt_k, s_c, write_k)
+        hptr = _masked_set(st.hptr, bi, tgt_k, s_ptr, write_k)
 
         return _SFState(
             node=node, heading=heading, elev=elev, in_use=in_use, score=score,
             expanded=expanded, is_comp=is_comp, steps=steps,
             tnode=tnode, thead=thead, telev=telev, tact=tact, tascore=tascore,
-            h=h, c=c,
+            hptr=hptr, hist_h=hist_h, hist_c=hist_c,
             comp_in_use=comp_in_use, comp_score=comp_score,
             comp_node=comp_node, comp_heading=comp_heading,
             comp_elev=comp_elev, comp_steps=comp_steps,

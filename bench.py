@@ -61,7 +61,45 @@ HIDDEN = 512
 MAX_LEN = 80
 
 
+def _await_tpu(max_wait_s: int = 1800) -> None:
+    """Preflight: the axon tunnel goes down for stretches (observed >1 h,
+    docs/ROUND3.md); a bench launched mid-outage would hang on its first
+    dispatch with no JSON emitted.  Poll a tiny matmul in a subprocess
+    (a hung in-process RPC is not interruptible) and wait up to
+    ``max_wait_s`` for recovery before proceeding."""
+    import subprocess
+
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "print(np.asarray(jax.jit(lambda x: (x@x).sum())(jnp.ones((256,256)))))"
+    )
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=150,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    sys.stderr.write(f"[bench] TPU back (attempt {attempt})\n")
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            sys.stderr.write(
+                "[bench] WARNING: TPU health probe failing after "
+                f"{max_wait_s}s; proceeding anyway\n"
+            )
+            return
+        sys.stderr.write(f"[bench] TPU unhealthy (attempt {attempt}); retry in 120s\n")
+        time.sleep(120)
+
+
 def main():
+    _await_tpu()
     import jax
     import jax.numpy as jnp
 

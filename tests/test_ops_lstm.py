@@ -90,3 +90,40 @@ def test_unpadded_batch_and_default_block(problem):
     assert out.shape == (n, L, H)
     np.testing.assert_allclose(out, out_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(hf, hf_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_bfloat16_forward_close_to_f32(problem):
+    """--bfloat16_compute + --pallas: the kernel must accept bf16 inputs
+    (f32 math inside, bf16 storage) and stay close to the f32 oracle."""
+    p, xs, lengths, h0, c0 = problem
+    to_bf16 = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16), t
+    )
+    out_ref, (hf_ref, cf_ref) = masked_lstm_scan(p, xs, lengths, h0, c0)
+    out, (hf, cf) = masked_lstm_scan_pallas(
+        to_bf16(p), to_bf16(xs), lengths, to_bf16(h0), to_bf16(c0),
+        block_b=8, interpret=True,
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        out.astype(jnp.float32), out_ref, rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(
+        hf.astype(jnp.float32), hf_ref, rtol=0.05, atol=0.05
+    )
+
+    # grads exist and are finite in bf16
+    def loss(p_, xs_):
+        o, (hf_, cf_) = masked_lstm_scan_pallas(
+            p_, xs_, lengths, to_bf16(h0), to_bf16(c0), block_b=8,
+            interpret=True,
+        )
+        return (
+            o.astype(jnp.float32).sum()
+            + hf_.astype(jnp.float32).sum()
+            + cf_.astype(jnp.float32).sum()
+        )
+
+    g = jax.grad(loss, argnums=(0, 1))(to_bf16(p), to_bf16(xs))
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()

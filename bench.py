@@ -348,6 +348,70 @@ def main():
             }
         )
     )
+    sys.stdout.flush()
+
+    # ------------- speaker train-step side metric (after the JSON so a
+    # failure here can't cost the headline; BENCH_SPEAKER=0 skips) -------
+    if os.environ.get("BENCH_SPEAKER", "1") != "1":
+        return
+    try:
+        from speaker_follower_tpu.agents import speaker as sa
+        from speaker_follower_tpu.models.speaker import init_speaker
+
+        s_params = jax.tree.map(
+            jnp.asarray,
+            init_speaker(jax.random.PRNGKey(2), vocab_size=992),
+        )
+        s_opt = tx.init(s_params)
+
+        def s_loss(p, t, b, k):
+            gold = sa.gold_rollout(t, b, episode_len=EPISODE_LEN)
+            return sa.score_instructions(
+                p, gold, b["seq"], k, feedback="teacher",
+                instruction_len=MAX_LEN, unroll_len=EPISODE_LEN,
+                deterministic=False, dropout_ratio=0.5, use_glove=True,
+                compute_dtype=compute_dtype,
+            ).loss
+
+        def s_k_steps(p, o, key, t, b):
+            def one(carry, k):
+                p_, o_ = carry
+                loss, grads = jax.value_and_grad(s_loss)(p_, t, b, k)
+                up, o_ = tx.update(grads, o_, p_)
+                return (jax.tree.map(lambda a, u: a + u, p_, up), o_), loss
+
+            return lax.scan(one, (p, o), jax.random.split(key, k_steps))
+
+        if train_pallas:
+            # speaker gold_rollout uses the unpadded pano path
+            tables_s = vecenv.make_env_tables(bank, feats_bf16)
+        else:
+            tables_s = tables_train
+        sstep = jax.jit(s_k_steps)
+        t0 = time.time()
+        (sp, so), losses = sstep(s_params, s_opt, key, tables_s, batch)
+        np.asarray(losses)
+        sys.stderr.write(
+            f"[bench] speaker train-step: compile+first {time.time()-t0:.1f}s\n"
+        )
+        n_scans = max(1, N_ITERS // k_steps)
+        t0 = time.time()
+        souts = []
+        for i in range(n_scans):
+            (sp, so), losses = sstep(
+                sp, so, jax.random.fold_in(key, 1000 + i), tables_s, batch
+            )
+            souts.append(losses)
+        for losses in souts:
+            np.asarray(losses)
+        dt = time.time() - t0
+        sys.stderr.write(
+            f"[bench] speaker fused-teacher train step @ batch {BATCH}: "
+            f"{BATCH * n_scans * k_steps / dt:.0f} eps/s "
+            f"(gold rollout + 80-word batched decode + Adam)\n"
+        )
+    except Exception as e:
+        sys.stderr.write(f"[bench] speaker phase failed: {type(e).__name__}: {e}\n")
 
 
 if __name__ == "__main__":

@@ -99,7 +99,8 @@ def _await_tpu(max_wait_s: int = 1800) -> None:
 
 
 def main():
-    _await_tpu()
+    if os.environ.get("BENCH_PREFLIGHT", "1") == "1":
+        _await_tpu()
     import jax
     import jax.numpy as jnp
 

@@ -163,15 +163,18 @@ def _search_program(
     R = max_rounds
     bi = jnp.arange(b)[:, None]
 
-    def key_eq(n1, h1, e1, n2, h2, e2):
-        """World-state key equality under first_n_ws_key (4 = full state,
-        3 = drop elevation, 2 = viewpoint only; reference follower.py:893)."""
-        eq = n1 == n2
+    def pack_key(n, h, e, is_comp):
+        """World-state key under first_n_ws_key (4 = full state, 3 = drop
+        elevation, 2 = viewpoint only; reference follower.py:893) packed
+        with the is_comp namespace bit into ONE int32, so the O(B*SA*K)
+        dedup matrices are a single integer compare instead of 3-4 ANDed
+        equality planes.  Range: node < Nmax(~345) x 12 x 3 x 2 << 2^31."""
+        k = n
         if first_n_ws_key >= 3:
-            eq &= h1 == h2
+            k = k * NUM_HEADINGS + h
         if first_n_ws_key >= 4:
-            eq &= e1 == e2
-        return eq
+            k = k * 3 + e
+        return k * 2 + is_comp.astype(k.dtype)
 
     zK = lambda dt: jnp.zeros((b, K), dt)
     zKT = lambda dt: jnp.zeros((b, K, T1), dt)
@@ -250,12 +253,13 @@ def _search_program(
         cn = st.node[bi, sel_idx]
         ch = st.heading[bi, sel_idx]
         ce = st.elev[bi, sel_idx]
+        sel_key = pack_key(cn, ch, ce, jnp.ones((), jnp.int32))
+        comp_key = pack_key(
+            st.comp_node, st.comp_heading, st.comp_elev,
+            jnp.ones((), jnp.int32),
+        )
         match_c = (
-            key_eq(
-                cn[:, :, None], ch[:, :, None], ce[:, :, None],
-                st.comp_node[:, None, :], st.comp_heading[:, None, :],
-                st.comp_elev[:, None, :],
-            )
+            (sel_key[:, :, None] == comp_key[:, None, :])
             & st.comp_in_use[:, None, :]
         )  # (B, S, CK)
         has_match = match_c.any(axis=2) & sel_iscomp
@@ -399,10 +403,8 @@ def _search_program(
         # ---- dedup successors among themselves (same key+namespace):
         # keep the best score; ties keep the lowest index (the reference
         # iterates successors score-descending and keeps the first)
-        eqm = key_eq(
-            s_node[:, :, None], s_head[:, :, None], s_elev[:, :, None],
-            s_node[:, None, :], s_head[:, None, :], s_elev[:, None, :],
-        ) & (s_iscomp[:, :, None] == s_iscomp[:, None, :])
+        s_key = pack_key(s_node, s_head, s_elev, s_iscomp)  # (B, SA)
+        eqm = s_key[:, :, None] == s_key[:, None, :]
         j_ix = jnp.arange(SA)
         better = (s_score[:, None, :] > s_score[:, :, None]) | (
             (s_score[:, None, :] == s_score[:, :, None])
@@ -412,12 +414,9 @@ def _search_program(
         s_alive = s_alive & ~dominated
 
         # ---- match against the table (same key+namespace)
+        t_key = pack_key(st.node, st.heading, st.elev, st.is_comp)
         m = (
-            key_eq(
-                s_node[:, :, None], s_head[:, :, None], s_elev[:, :, None],
-                st.node[:, None, :], st.heading[:, None, :], st.elev[:, None, :],
-            )
-            & (s_iscomp[:, :, None] == st.is_comp[:, None, :])
+            (s_key[:, :, None] == t_key[:, None, :])
             & st.in_use[:, None, :]
         )  # (B, SA, K)
         has_m = m.any(axis=2) & s_alive

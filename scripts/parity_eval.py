@@ -224,6 +224,9 @@ def main():
                 acc_by_w[0.95]["success_rate"] * 100.0,
             )
 
+    if not verdicts:
+        sys.exit("parity_eval: no checks ran (--skip_greedy without "
+                 "--beam_size > 1 selects nothing)")
     out = {"mode": mode, "verdicts": verdicts,
            "all_within_1pt": all(v["within_1pt"] for v in verdicts)}
     print(json.dumps(out))

@@ -53,27 +53,15 @@ def _scalarize(tree):
     )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=BATCH)
-    ap.add_argument("--pallas", action="store_true")
-    ap.add_argument("--compute", default="bf16", choices=["f32", "bf16"])
-    ap.add_argument("--speaker", action="store_true",
-                    help="profile the speaker train step instead")
-    args = ap.parse_args()
-    if args.speaker:
-        return speaker_main(args)
-    batch_size = args.batch
 
+def build_world_and_batch(batch_size, pallas, *, with_seq_mask=True):
+    """Shared setup for both profiling modes: 90-scan graph bank, bf16
+    synthetic feature bank, and a seeded random episode batch."""
     import jax
     import jax.numpy as jnp
 
-    from speaker_follower_tpu.agents.rollout import rollout
     from speaker_follower_tpu.data.graph import load_graph_bank
     from speaker_follower_tpu.env import vecenv
-    from speaker_follower_tpu.models import follower as fmodels
-    from speaker_follower_tpu.models.follower import init_follower
-    from speaker_follower_tpu.training.optim import adam_with_torch_wd
 
     with open("/root/reference/connectivity/scans.txt") as f:
         scans = [line.strip() for line in f if line.strip()]
@@ -85,16 +73,7 @@ def main():
     feats = jax.random.normal(
         jax.random.PRNGKey(0), (bank.total_nodes, 36, FEAT_DIM), jnp.bfloat16
     )
-    tables = vecenv.make_env_tables(bank, feats, pad_views=args.pallas)
-    print(f"device={jax.devices()[0]} batch={batch_size} pallas={args.pallas} "
-          f"compute={args.compute}")
-
-    params = init_follower(
-        jax.random.PRNGKey(0), vocab_size=992, word_embedding_size=300,
-        hidden_size=HIDDEN, action_embedding_size=FEAT_DIM + 128,
-        feature_size=FEAT_DIM + 128,
-    )
-    params = jax.tree.map(jnp.asarray, params)
+    tables = vecenv.make_env_tables(bank, feats, pad_views=pallas)
 
     rng = np.random.RandomState(0)
     scan_ix = rng.randint(len(scans), size=batch_size).astype(np.int32)
@@ -115,9 +94,44 @@ def main():
         "goal_node": jnp.asarray(goal),
         "heading": jnp.asarray(rng.randint(12, size=batch_size).astype(np.int32)),
         "seq": jnp.asarray(seq),
-        "seq_mask": jnp.asarray(seq == 0),
-        "seq_length": jnp.asarray(lengths),
     }
+    if with_seq_mask:
+        batch["seq_mask"] = jnp.asarray(seq == 0)
+        batch["seq_length"] = jnp.asarray(lengths)
+    return bank, tables, batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--compute", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--speaker", action="store_true",
+                    help="profile the speaker train step instead")
+    args = ap.parse_args()
+    if args.speaker:
+        return speaker_main(args)
+    batch_size = args.batch
+
+    import jax
+    import jax.numpy as jnp
+
+    from speaker_follower_tpu.agents.rollout import rollout
+    from speaker_follower_tpu.env import vecenv
+    from speaker_follower_tpu.models import follower as fmodels
+    from speaker_follower_tpu.models.follower import init_follower
+    from speaker_follower_tpu.training.optim import adam_with_torch_wd
+
+    bank, tables, batch = build_world_and_batch(batch_size, args.pallas)
+    print(f"device={jax.devices()[0]} batch={batch_size} pallas={args.pallas} "
+          f"compute={args.compute}")
+
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=992, word_embedding_size=300,
+        hidden_size=HIDDEN, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    params = jax.tree.map(jnp.asarray, params)
     key = jax.random.PRNGKey(1)
     compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.compute]
     use_pallas = args.pallas
@@ -219,59 +233,25 @@ def main():
               "with_features flag — skipped")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def speaker_main(args):
     """--speaker: times the speaker train step (gold rollout + teacher
     scoring + grads) with the fused-teacher batched decode vs the
     sequential step loop, and the Pallas word chain on top."""
     import jax
-    import jax.numpy as jnp
 
     from speaker_follower_tpu.agents import speaker as sa
-    from speaker_follower_tpu.data.graph import load_graph_bank
-    from speaker_follower_tpu.env import vecenv
     from speaker_follower_tpu.models.speaker import init_speaker
 
-    batch_size = args.batch
-    with open("/root/reference/connectivity/scans.txt") as f:
-        scans = [line.strip() for line in f if line.strip()]
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bank = load_graph_bank(
-        scans, "/root/reference/connectivity",
-        cache_dir=os.path.join(repo, ".cache"),
+    bank, tables, batch = build_world_and_batch(
+        args.batch, args.pallas, with_seq_mask=False
     )
-    import jax.random as jr
+    print(f"device={jax.devices()[0]} batch={args.batch} "
+          f"pallas={args.pallas} (speaker)")
+    import jax.numpy as jnp
 
-    feats = jr.normal(
-        jr.PRNGKey(0), (bank.total_nodes, 36, FEAT_DIM), jnp.bfloat16
+    params = jax.tree.map(
+        jnp.asarray, init_speaker(jax.random.PRNGKey(0), vocab_size=992)
     )
-    tables = vecenv.make_env_tables(bank, feats, pad_views=args.pallas)
-    params = init_speaker(jr.PRNGKey(0), vocab_size=992)
-    params = jax.tree.map(jnp.asarray, params)
-
-    rng = np.random.RandomState(0)
-    scan_ix = rng.randint(len(scans), size=batch_size).astype(np.int32)
-    node = np.zeros(batch_size, np.int32)
-    goal = np.zeros(batch_size, np.int32)
-    for i in range(batch_size):
-        g = bank.graphs[scans[scan_ix[i]]]
-        inc = np.nonzero(g.included & (g.adj_count > 0))[0]
-        node[i], goal[i] = inc[rng.randint(len(inc), size=2)]
-    seq = rng.randint(4, 900, size=(batch_size, MAX_LEN)).astype(np.int32)
-    lengths = rng.randint(10, MAX_LEN, size=batch_size)
-    for i, l in enumerate(lengths):
-        seq[i, l - 1] = 2
-        seq[i, l:] = 0
-    batch = {
-        "scan": jnp.asarray(scan_ix),
-        "start_node": jnp.asarray(node),
-        "goal_node": jnp.asarray(goal),
-        "heading": jnp.asarray(rng.randint(12, size=batch_size).astype(np.int32)),
-        "seq": jnp.asarray(seq),
-    }
     key = jax.random.PRNGKey(1)
 
     def make_loss(fused, pallas):
@@ -299,3 +279,7 @@ def speaker_main(args):
         vg = jax.jit(lambda p, t, b, k, f=loss_fn: _scalarize(
             jax.grad(f)(p, t, b, k)))
         timeit(f"speaker fwd+bwd    [{name}]", vg, params, tables, batch, key)
+
+
+if __name__ == "__main__":
+    main()

@@ -166,7 +166,7 @@ def score_instructions(
             params["decoder"], ctx, path_mask, h_t, c_t, instr_seq, rng,
             dropout_ratio=dropout_ratio, use_glove=use_glove,
             deterministic=deterministic, use_pallas=use_pallas,
-            pallas_interpret=pallas_interpret,
+            pallas_interpret=pallas_interpret, remat=remat,
         )
 
     w0 = jnp.full((b,), BOS_IDX, jnp.int32)
@@ -241,7 +241,7 @@ def score_instructions(
 def _score_teacher_batched(
     p_dec, ctx, path_mask, h_t, c_t, instr_seq, rng, *,
     dropout_ratio, use_glove, deterministic,
-    use_pallas=False, pallas_interpret=False,
+    use_pallas=False, pallas_interpret=False, remat=False,
 ):
     """Teacher-forced decode with the time loop batched out (see
     score_instructions ``fused_teacher``).  The decoder LSTM input is the
@@ -280,23 +280,30 @@ def _score_teacher_batched(
     h_seq, _ = scan(p_dec["lstm"], embeds, full, h_t, c_t)
     h_drop = _dropout(k_h, h_seq, dropout_ratio, deterministic)  # (B, L, H)
 
-    # SoftDotAttention for every position at once (attention.py:27-39
-    # semantics: the output concat uses the dropped query)
-    pa = p_dec["attention"]
-    target_q = _linear(pa["linear_in"], h_drop)  # (B, L, H)
-    scores = jnp.einsum("bth,blh->blt", ctx, target_q)  # (B, L, T)
-    scores = jnp.where(path_mask[:, None, :], NEG_INF, scores)
-    alpha = jax.nn.softmax(scores, axis=-1)
-    weighted = jnp.einsum("blt,bth->blh", alpha, ctx)
-    h_tilde = jnp.tanh(
-        _linear(pa["linear_out"], jnp.concatenate([weighted, h_drop], -1))
-    )
-    logit = _linear(p_dec["decoder2action"], h_tilde)  # (B, L, V)
-    log_probs = jax.nn.log_softmax(logit.astype(jnp.float32), axis=-1)
+    def attend_and_score(h_drop, ctx):
+        # SoftDotAttention for every position at once (attention.py:27-39
+        # semantics: the output concat uses the dropped query)
+        pa = p_dec["attention"]
+        target_q = _linear(pa["linear_in"], h_drop)  # (B, L, H)
+        scores = jnp.einsum("bth,blh->blt", ctx, target_q)  # (B, L, T)
+        scores = jnp.where(path_mask[:, None, :], NEG_INF, scores)
+        alpha = jax.nn.softmax(scores, axis=-1)
+        weighted = jnp.einsum("blt,bth->blh", alpha, ctx)
+        h_tilde = jnp.tanh(
+            _linear(pa["linear_out"], jnp.concatenate([weighted, h_drop], -1))
+        )
+        logit = _linear(p_dec["decoder2action"], h_tilde)  # (B, L, V)
+        log_probs = jax.nn.log_softmax(logit.astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(
+            log_probs, instr_seq[..., None], axis=2
+        )[..., 0]  # (B, L)
 
-    tgt_logp = jnp.take_along_axis(
-        log_probs, instr_seq[..., None], axis=2
-    )[..., 0]  # (B, L)
+    if remat:
+        # recompute attention + the (B, L, V) logits in the backward pass
+        # instead of storing them — the vocab-logit tensor dominates the
+        # fused path's activation memory
+        attend_and_score = jax.checkpoint(attend_and_score)
+    tgt_logp = attend_and_score(h_drop, ctx)
     valid = instr_seq != PAD_IDX
     count_t = valid.sum(axis=0)  # (L,)
     loss_t = jnp.where(

@@ -41,13 +41,11 @@ class Evaluation:
             self.scans.add(item["scan"])
             for i in range(len(item["instructions"])):
                 self.instr_ids.add("%d_%d" % (item["path_id"], i))
-        # scan -> bank row, hoisted out of _dist: _dist runs per trajectory
-        # element x per instruction, and list.index() is O(num_scans)
-        self._scan_row = {s: i for i, s in enumerate(graph_bank.scan_ids)}
 
     def _dist(self, scan, vp_a, vp_b):
+        # scan_row is O(1): _dist runs per trajectory element x instruction
         bank = self.graph_bank
-        s = self._scan_row[scan]
+        s = bank.scan_row(scan)
         g = bank.graphs[scan]
         return float(bank.dist[s, g.node_index[vp_a], g.node_index[vp_b]])
 

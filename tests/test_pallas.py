@@ -160,3 +160,34 @@ def test_pano_attention_gradients_match_xla():
     g2 = jax.grad(loss_ref5, argnums=(0, 1, 2))(v_feat[:5], v_loc[:5], bias[:5])
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-4)
+
+
+def test_fused_pano_backward_matches_xla_oracle():
+    """The Pallas backward (_fused_pano_attention_bwd) against the retained
+    XLA backward oracle (_pa_bwd_xla) on identical residuals/cotangents —
+    keeps the oracle itself exercised."""
+    from speaker_follower_tpu.ops import pano_attention as pa
+
+    rng = np.random.RandomState(5)
+    t, d, b = 20, 128, 8
+    features = pad_views_for_pallas(
+        jnp.asarray(rng.randn(t, 36, d).astype(np.float32))
+    )
+    loc_table = jnp.asarray(rng.randn(36, 36, 128).astype(np.float32))
+    gnode = jnp.asarray(rng.randint(t, size=b).astype(np.int32))
+    view = jnp.asarray(rng.randint(36, size=b).astype(np.int32))
+    attn = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, 36).astype(np.float32)), axis=-1
+    )
+    g_w = jnp.asarray(rng.randn(b, d + 128).astype(np.float32))
+    g_a = jnp.asarray(rng.randn(b, 36).astype(np.float32))
+
+    res = (features, loc_table, gnode, view, attn)
+    gf_x, gl_x, gb_x = pa._pa_bwd_xla(None, True, res, (g_w, g_a))[4:]
+    gf_p, gl_p, gb_p = pa._pa_bwd(8, True, res, (g_w, g_a))[4:]
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl_p), np.asarray(gl_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_x),
+                               rtol=1e-4, atol=1e-4)

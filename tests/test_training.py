@@ -116,6 +116,9 @@ def test_frozen_embedding_stays_frozen(world):
     )
     cfg = TrainConfig(feedback="teacher", use_glove=True, no_save=True)
     trainer = FollowerTrainer(params, tables, ds, bank, cfg)
+    # snapshot BEFORE training: the interval program donates params, so
+    # pre-training device arrays are invalidated once it runs
+    w_ih_before = np.asarray(params["encoder"]["lstm_fwd"]["w_ih"])
     trainer.train_interval(2)
     np.testing.assert_array_equal(
         np.asarray(trainer.params["encoder"]["embedding"]["w"]), glove
@@ -123,7 +126,7 @@ def test_frozen_embedding_stays_frozen(world):
     # but other params moved
     assert not np.allclose(
         np.asarray(trainer.params["encoder"]["lstm_fwd"]["w_ih"]),
-        np.asarray(params["encoder"]["lstm_fwd"]["w_ih"]),
+        w_ih_before,
     )
 
 

@@ -170,6 +170,25 @@ def render_view(faces, rot, heading, elevation, **kw):
     return render_views(faces, rot, [heading], [elevation], **kw)[0]
 
 
+def pixel_cube_coords(rot, heading, elevation, *, width=640, height=480,
+                      vfov=np.radians(60)):
+    """(face, u, v) cube-map coordinates of every output pixel of
+    ``render_view`` — the sampling map without the gather, so a rendered
+    image can be inverse-projected (scattered) back onto the cubemap.
+    Used by the WebGL-golden seam-continuity regression (the reference's
+    goldens, src/test/main.cpp:302-338, are real renders; scattering one
+    through this map must produce a cubemap that is continuous across
+    face seams iff the addressing chain matches the GL spec).  Returns
+    numpy arrays of shape (height, width)."""
+    rays = camera_rays(width, height, vfov)  # (H, W, 3) float64
+    view = rotx(-np.pi / 2 - elevation) @ rotz(heading)
+    vm = view @ np.asarray(rot, np.float64)
+    d = np.einsum("ji,hwj->hwi", vm, rays)
+    d = d * np.array([-1.0, 1.0, 1.0])  # fragment.sh flip
+    face, u, v = cube_lookup(jnp.asarray(d))
+    return np.asarray(face), np.asarray(u), np.asarray(v)
+
+
 def load_skybox(dataset_path, scan_id, viewpoint_id, imread=None):
     """Read the six Matterport skybox JPGs for a viewpoint into GL face
     order (MatterSim.cpp:318-327).  ``imread(path) -> (S, S, 3) BGR``

@@ -222,10 +222,16 @@ def _bwd_kernel(
     loc = loc_scratch[...].astype(jnp.float32)  # (BB, 36, 128)
     attn = attn_ref[...]  # (BB, 36)
 
-    # d(weighted)/d(attn): rows of [feat | loc], plus the direct d(attn)
+    # d(weighted)/d(attn): rows of [feat | loc], plus the direct d(attn).
+    # Slice the REF (static vector loads): slicing the loaded value with
+    # a mixed newaxis+slice index lowers through a gather that Mosaic's
+    # TPU gather rule rejects ("Shape mismatch in input, indices and
+    # output" at lowering, observed on v5e).
+    g_w_feat = g_w_ref[:, :d]  # (BB, D)
+    g_w_loc = g_w_ref[:, d:]  # (BB, 128)
     g_attn = (
-        (feat * g_w_ref[...][:, None, :d]).sum(axis=-1)
-        + (loc * g_w_ref[...][:, None, d:]).sum(axis=-1)
+        (feat * g_w_feat[:, None, :]).sum(axis=-1)
+        + (loc * g_w_loc[:, None, :]).sum(axis=-1)
         + g_a_ref[...]
     )  # (BB, 36)
     # softmax jacobian: d logits = attn * (g_attn - sum(g_attn * attn))

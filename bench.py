@@ -19,10 +19,14 @@ BENCH_BATCH, BENCH_COMPUTE=f32|bf16, BENCH_REMAT=1 (activation
 rematerialization: fits bigger batches but the recompute costs more than
 the amortization buys), BENCH_SKIP_INFERENCE=0 (adds the Pallas greedy-
 inference phase — opt-in: its large-batch remote compile is minutes and
-occasionally kills the tunnel worker), BENCH_TRAIN_PALLAS=1.
+occasionally kills the tunnel worker), BENCH_TRAIN_PALLAS=0 (plain XLA
+pano path; since round 3 the fused custom-VJP kernel is the default:
+b2048 fwd+bwd 132 ms vs 213 ms after the Mosaic backward-lowering fix).
 Measured sweep (train eps/s): 1024/f32 6585, 1408/f32 7300, 2048/f32 OOM,
-2048/f32+remat 5764, 1024/bf16 8443, 2048/bf16 9994, 2048/bf16+pallas
-9791, 4096/bf16 OOM, 4096/bf16+remat 8117.
+2048/f32+remat 5764, 1024/bf16 8443, 2048/bf16 9994, 4096/bf16 OOM,
+4096/bf16+remat 8117; round 3 with the fixed pallas train path:
+2048/bf16+pallas ~15000, 4096/bf16+pallas ~15600 (fits: the kernel never
+materializes the (B, 36, 2176) pano gather in either direction).
 
 Baseline: the reference publishes one wall-clock figure — 50k training
 iterations at batch 100 in ~50 hours on a single GPU (README.md:101), i.e.
@@ -235,7 +239,15 @@ def main():
 
     from speaker_follower_tpu.training.optim import adam_with_torch_wd
 
-    train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "0") == "1"
+    # default ON since round 3: the fused custom-VJP pano kernel beats the
+    # XLA gather path end-to-end on chip (b2048 fwd+bwd 132 ms vs 213 ms,
+    # runs/profile_b2048_{base,pallas}_r3.log); BENCH_TRAIN_PALLAS=0
+    # benches the plain XLA path.
+    train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "1") == "1"
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        # compiled (non-interpret) Pallas needs the TPU backend; CPU
+        # smoke runs bench the XLA pano path instead
+        train_pallas = False
     if train_pallas != use_pallas:
         # default trainer config is the XLA pano path; BENCH_TRAIN_PALLAS=1
         # benches the fused custom-VJP kernel in the train step instead

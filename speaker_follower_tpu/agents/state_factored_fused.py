@@ -497,7 +497,7 @@ def state_factored_search_fused(
     max_rounds: int | None = None,
     table_capacity: int = 1024,
     use_glove: bool = True,
-    max_device_batch: int | None = 16,
+    max_device_batch: int | None = 64,
 ):
     """Drop-in for state_factored.state_factored_search, one device call.
 
@@ -511,13 +511,18 @@ def state_factored_search_fused(
     over 100 rounds (the reference loops uncapped; the cap only sizes
     the fixed selection-log buffer and the loop exits early when done).
 
-    ``max_device_batch``: XLA compile time of the search program grows
-    superlinearly with the instance count (observed on TPU v5e: 10 s at
-    B=16, 130 s at B=24, backend-killing at B=32).  Batches larger than
-    this are dispatched as fixed-shape chunks — every chunk padded to
-    exactly ``max_device_batch`` (repeating row 0), so the program
-    compiles ONCE and is reused; padded rows are dropped on the host.
-    None disables chunking.
+    ``max_device_batch``: bounds the per-dispatch instance count.  The
+    round-2 layout (h/c carried per table entry) made XLA compile time
+    blow up superlinearly on TPU v5e (10 s at B=16, 130 s at B=24,
+    backend-killing at B=32); with the packed int32 world-state keys and
+    the append-only decoder-state history the compile is flat again
+    (measured v5e, cap=1024: 3.3 s at B=8, 3.9 s at B=16, 5.3 s at
+    B=24, 6.1 s at B=32, 18.0 s at B=64 — runs/probe_sf_compile_r3*.log),
+    so the default chunk is 64.  Batches larger than this are dispatched
+    as fixed-shape chunks — every chunk padded to exactly
+    ``max_device_batch`` (repeating row 0), so the program compiles ONCE
+    and is reused; padded rows are dropped on the host.  None disables
+    chunking.
     """
     if max_rounds is None:
         max_rounds = max(100, 8 * completion_size)

@@ -34,7 +34,8 @@ def make_arg_parser():
     parser.add_argument(
         "--speaker_score_batch", type=int, default=None,
         help="chunk speaker replay+scoring dispatches to this many "
-        "candidates (use 16 on many-scan worlds; see "
+        "candidates; default auto (16 on many-scan worlds, 512 beyond "
+        "512 candidates; see "
         "inference.rational_follower.speaker_score_candidates)",
     )
     parser.add_argument("--physical_traversal", action="store_true")
@@ -86,7 +87,10 @@ def validate_entry_point(args):
             use_glove=use_glove,
             output_file=output_file,
             eval_file=eval_file,
-            speaker_score_batch=args.speaker_score_batch,
+            speaker_score_batch=(
+                args.speaker_score_batch
+                if args.speaker_score_batch is not None else "auto"
+            ),
         )
         pprint.pprint(acc)
         weight, summary = max(acc.items(), key=lambda p: p[1]["success_rate"])

@@ -46,7 +46,7 @@ def speaker_score_candidates(
     max_instruction_length: int = 80,
     episode_len: int = EPISODE_LEN,
     use_glove: bool = True,
-    max_device_batch: int | None = None,
+    max_device_batch: int | None | str = "auto",
     _forced_unroll: int | None = None,
 ):
     """Teacher-forced speaker log-likelihood of each candidate's own
@@ -58,7 +58,12 @@ def speaker_score_candidates(
     TPU worker at batch >= ~24 when the env tables span many scans
     (61-scan world: B=16 runs, B=24 kills the worker — data-independent,
     reproduced on zero features); 16 is the known-safe chunk.  None =
-    one dispatch (fine on few-scan worlds, fastest over a tunnel).
+    one dispatch (fastest over a tunnel, but the replay stacks
+    (B, unroll, 36, D) f32 features — 4096 padded candidates is ~13 GB
+    and OOMs a 16 GB chip).  "auto" (default) keeps single dispatches
+    small worlds/batches can afford: chunk 16 on many-scan (>= 24)
+    worlds, one dispatch up to 512 candidates otherwise, chunk 512
+    beyond that.
 
     All chunks share one batch-global unroll length, so chunking is
     value-exact vs a single dispatch (the speaker encoder follows the
@@ -75,6 +80,9 @@ def speaker_score_candidates(
                 default=1)
         return min(u + (u % 2), episode_len)  # even buckets: <=5 variants
 
+    if max_device_batch == "auto":
+        n_scans = int(tables.offsets.shape[0])
+        max_device_batch = 16 if n_scans >= 24 else 512
     if max_device_batch is not None and m > max_device_batch:
         unroll = unroll_of(candidates_flat)
         out = []
@@ -206,7 +214,7 @@ def run_rational_follower(
     fused_search: bool = False,
     output_file=None,
     eval_file=None,
-    speaker_score_batch: int | None = None,
+    speaker_score_batch: int | None | str = "auto",
 ):
     """Returns accuracies_by_weight, index_counts_by_weight
     (rational_follower.py:11-195).

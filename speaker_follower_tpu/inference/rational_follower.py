@@ -38,6 +38,21 @@ def _pad_pow2(m, lo=8):
     return size
 
 
+def _resolve_score_chunk(n_scans: int, m: int) -> int | None:
+    """Resolve max_device_batch="auto" for speaker_score_candidates.
+
+    Chunk 16 on many-scan worlds (>= 24 scans: the axon backend faults
+    the TPU worker on large forced-replay batches there — see
+    speaker_score_candidates docstring); otherwise one dispatch up to
+    512 candidates, chunks of 512 beyond (a single 4096-candidate
+    dispatch stacks ~13 GB of (B, unroll, 36, D) f32 replay features
+    and OOMs a 16 GB chip).
+    """
+    if n_scans >= 24:
+        return 16
+    return None if m <= 512 else 512
+
+
 def speaker_score_candidates(
     speaker_params,
     tables,
@@ -81,8 +96,9 @@ def speaker_score_candidates(
         return min(u + (u % 2), episode_len)  # even buckets: <=5 variants
 
     if max_device_batch == "auto":
-        n_scans = int(tables.offsets.shape[0])
-        max_device_batch = 16 if n_scans >= 24 else 512
+        max_device_batch = _resolve_score_chunk(
+            int(tables.offsets.shape[0]), m
+        )
     if max_device_batch is not None and m > max_device_batch:
         unroll = unroll_of(candidates_flat)
         out = []
@@ -95,6 +111,7 @@ def speaker_score_candidates(
                 speaker_params, tables, padded,
                 max_instruction_length=max_instruction_length,
                 episode_len=episode_len, use_glove=use_glove,
+                max_device_batch=None,  # chunk IS the requested dispatch
                 _forced_unroll=unroll,
             )
             out.extend(scores[: len(chunk)])

@@ -261,6 +261,21 @@ def test_speaker_score_candidates_chunked_matches_unchunked(world):
     np.testing.assert_allclose(chunked, one, rtol=2e-5, atol=1e-5)
 
 
+def test_speaker_score_chunk_auto_resolution():
+    """"auto" dispatch sizing: 16 on many-scan (axon-fault) worlds; one
+    dispatch up to 512 candidates otherwise; 512-chunks beyond (replay
+    feature stack would OOM the chip)."""
+    from speaker_follower_tpu.inference.rational_follower import (
+        _resolve_score_chunk,
+    )
+
+    assert _resolve_score_chunk(n_scans=61, m=8) == 16
+    assert _resolve_score_chunk(n_scans=24, m=2560) == 16
+    assert _resolve_score_chunk(n_scans=5, m=512) is None
+    assert _resolve_score_chunk(n_scans=5, m=2560) == 512
+    assert _resolve_score_chunk(n_scans=23, m=4096) == 512
+
+
 def test_fused_teacher_scoring_matches_step_loop(world):
     """score_instructions(fused_teacher=True) — one LSTM scan + batched
     attention — must equal the sequential decoder loop exactly in

@@ -15,6 +15,7 @@ teacher-forced in one call — no per-candidate loops on device.
 
 from __future__ import annotations
 
+import time
 from collections import Counter
 
 import jax
@@ -251,6 +252,7 @@ def run_rational_follower(
         _sys.stderr.write(f"[rational_follower] batch {batch_idx}\n")
         _sys.stderr.flush()
         batch_idx += 1
+        _t0 = time.perf_counter()
         batch = dataset.next_minibatch()
         enc = encode_batch(
             batch, graph_bank, max_instruction_length=max_instruction_length
@@ -261,6 +263,7 @@ def run_rational_follower(
             fused=fused_search,
             state_first_n_ws_key=state_first_n_ws_key, use_glove=use_glove,
         )
+        _t1 = time.perf_counter()
         # annotate candidates with replay coordinates for speaker scoring
         flat = []
         for i, cands in enumerate(candidates):
@@ -277,6 +280,7 @@ def run_rational_follower(
         for cand, s in zip(flat, speaker_scores):
             cand["follower_score"] = cand["score"]
             cand["speaker_score"] = float(s)
+        _t2 = time.perf_counter()
 
         for i, cands in enumerate(candidates):
             if physical_traversal:
@@ -290,6 +294,12 @@ def run_rational_follower(
                 looped = True
             else:
                 candidate_lists_by_instr_id[instr_id] = cands
+        _sys.stderr.write(
+            f"[rational_follower]   search {_t1 - _t0:.1f}s  "
+            f"score {_t2 - _t1:.1f}s ({len(flat)} cands)  "
+            f"traverse {time.perf_counter() - _t2:.1f}s\n"
+        )
+        _sys.stderr.flush()
 
     follower_scores = [
         c["follower_score"]

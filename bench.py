@@ -344,7 +344,9 @@ def main():
             f"{bytes_per_scan * n_scans / dt / 1e9:.0f} GB/s HBM "
             f"({100 * bytes_per_scan * n_scans / dt / PEAK_HBM_BW:.0f}% of "
             f"{PEAK_HBM_BW / 1e9:.0f} GB/s peak) "
-            f"(h=512 LSTM decode: tiny matmuls, memory-bound by design)\n"
+            f"(low MFU/HBM%% = latency-bound: 90 sequential h=512 LSTM "
+            f"cells/step; the Pallas kernels collapse launches, see "
+            f"docs/DESIGN.md roofline note)\n"
         )
 
     train_eps = results[BATCH]

@@ -46,6 +46,8 @@ and the host wrapper replays the reference's
 
 from __future__ import annotations
 
+import sys
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -564,6 +566,7 @@ def state_factored_search_fused(
             all_trav.extend(travs[: c1 - c0])
         return all_c, all_comp, all_trav
 
+    _t0 = time.perf_counter()
     st = _search_program(
         params, tables,
         jnp.asarray(batch["seq"]), jnp.asarray(batch["seq_length"]),
@@ -575,6 +578,7 @@ def state_factored_search_fused(
         max_rounds=max_rounds, table_capacity=table_capacity,
         use_glove=use_glove,
     )
+    _t1 = time.perf_counter()
     # one bulk host transfer of the small output tables
     get = lambda x: np.asarray(x)
     comp_in_use = get(st.comp_in_use)
@@ -588,6 +592,11 @@ def state_factored_search_fused(
     rounds = int(st.round)
     overflow = get(st.overflow)
     b = comp_in_use.shape[0]
+    sys.stderr.write(
+        f"[fused_search]   B={b} dispatch {_t1 - _t0:.1f}s  fetch "
+        f"{time.perf_counter() - _t1:.1f}s  rounds {rounds}/{max_rounds}\n"
+    )
+    sys.stderr.flush()
 
     if overflow.any():
         import warnings

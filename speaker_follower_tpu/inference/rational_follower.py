@@ -151,13 +151,22 @@ def speaker_score_candidates(
     )
 
     def run_scoring():
+        t0 = time.perf_counter()
         gold = sa.forced_rollout(tables, batch, episode_len=episode_len)
         out = sa.score_instructions(
             speaker_params, gold, jnp.asarray(seq), jax.random.PRNGKey(0),
             feedback="teacher", instruction_len=max_instruction_length,
             unroll_len=max(unroll, 1), deterministic=True, use_glove=use_glove,
         )
-        return np.asarray(out.score)[:m]
+        scores = np.asarray(out.score)[:m]
+        import sys as _sys
+
+        _sys.stderr.write(
+            f"[speaker_score]   B={cap} unroll={max(unroll, 1)} "
+            f"{time.perf_counter() - t0:.1f}s\n"
+        )
+        _sys.stderr.flush()
+        return scores
 
     return _retry_transient(run_scoring)
 

@@ -32,6 +32,11 @@ def make_arg_parser():
     )
     parser.add_argument("--state_first_n_ws_key", type=int, default=4)
     parser.add_argument(
+        "--sf_chunk", type=int, default=None,
+        help="fused-search per-dispatch instance cap (default: module "
+        "default in agents.state_factored_fused)",
+    )
+    parser.add_argument(
         "--speaker_score_batch", type=int, default=None,
         help="chunk speaker replay+scoring dispatches to this many "
         "candidates; default auto (16 on many-scan worlds, 512 beyond "
@@ -82,6 +87,7 @@ def validate_entry_point(args):
             beam_size=args.beam_size,
             state_factored_search=args.state_factored_search,
             fused_search=args.fused_search,
+            fused_search_chunk=args.sf_chunk,
             state_first_n_ws_key=args.state_first_n_ws_key,
             physical_traversal=args.physical_traversal,
             use_glove=use_glove,

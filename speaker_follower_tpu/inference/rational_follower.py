@@ -183,12 +183,14 @@ def generate_candidates(
     episode_len: int = EPISODE_LEN,
     use_glove: bool = True,
     fused: bool = False,
+    fused_chunk: int | None = None,
 ):
     """Per-instance candidate lists (+ traversal lists for state-factored).
 
     ``fused`` runs the whole state-factored search as one device program
     (agents/state_factored_fused.py) instead of the host-orchestrated
-    loop — same results, one dispatch for all rounds."""
+    loop — same results, one dispatch for all rounds.  ``fused_chunk``
+    overrides the per-dispatch instance cap (None = module default)."""
     db = {
         k: jnp.asarray(enc[k])
         for k in ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
@@ -202,11 +204,15 @@ def generate_candidates(
             # backend error the whole program safely reruns.  Backend
             # worker restarts take minutes, so back off patiently
             # (observed 2026-08-16: worker up again ~5 min after a crash).
+            chunk_kw = (
+                {} if fused_chunk is None
+                else {"max_device_batch": fused_chunk}
+            )
             return _retry_transient(attempts=6, base_delay=45.0, fn=lambda: state_factored_search_fused(
                 follower_params, tables, enc, graph_bank,
                 completion_size=beam_size, successor_size=1,
                 episode_len=episode_len, first_n_ws_key=state_first_n_ws_key,
-                use_glove=use_glove,
+                use_glove=use_glove, **chunk_kw,
             ))
         candidates, completed, traversed = sf.state_factored_search(
             follower_params, tables, enc, graph_bank,
@@ -239,6 +245,7 @@ def run_rational_follower(
     max_instruction_length: int = 80,
     use_glove: bool = True,
     fused_search: bool = False,
+    fused_search_chunk: int | None = None,
     output_file=None,
     eval_file=None,
     speaker_score_batch: int | None | str = "auto",
@@ -269,7 +276,7 @@ def run_rational_follower(
         candidates, completed, traversed = generate_candidates(
             follower_params, tables, enc, graph_bank,
             beam_size=beam_size, state_factored=state_factored_search,
-            fused=fused_search,
+            fused=fused_search, fused_chunk=fused_search_chunk,
             state_first_n_ws_key=state_first_n_ws_key, use_glove=use_glove,
         )
         _t1 = time.perf_counter()

@@ -39,9 +39,9 @@ def make_arg_parser():
     parser.add_argument(
         "--speaker_score_batch", type=int, default=None,
         help="chunk speaker replay+scoring dispatches to this many "
-        "candidates; default auto (16 on many-scan worlds, 512 beyond "
-        "512 candidates; see "
-        "inference.rational_follower.speaker_score_candidates)",
+        "candidates; default auto (16 only on axon-fault-sized worlds, "
+        "else up to 1024 per dispatch; see "
+        "inference.rational_follower._resolve_score_chunk)",
     )
     parser.add_argument("--physical_traversal", action="store_true")
     parser.add_argument("--output_file")

@@ -39,19 +39,29 @@ def _pad_pow2(m, lo=8):
     return size
 
 
-def _resolve_score_chunk(n_scans: int, m: int) -> int | None:
+def _resolve_score_chunk(n_scans: int, n_nodes: int, m: int) -> int | None:
     """Resolve max_device_batch="auto" for speaker_score_candidates.
 
-    Chunk 16 on many-scan worlds (>= 24 scans: the axon backend faults
-    the TPU worker on large forced-replay batches there — see
-    speaker_score_candidates docstring); otherwise one dispatch up to
-    512 candidates, chunks of 512 beyond (a single 4096-candidate
-    dispatch stacks ~13 GB of (B, unroll, 36, D) f32 replay features
-    and OOMs a 16 GB chip).
+    Two competing costs, both measured on the axon tunnel (2026-08-18,
+    runs/probe_sf_phases_c16.log):
+
+    * Every dispatch+sync pair costs SECONDS over the tunnel regardless
+      of size (a 16-candidate scoring chunk measures 2.5-7.6 s), so the
+      right chunk is the LARGEST safe one — chunking a 2560-candidate
+      batch at 16 turns a ~10 s scoring phase into ~11 minutes.
+    * On the full 61-scan/7829-node world the axon backend faults the
+      TPU worker on forced-replay batches >= ~24 (data-independent,
+      docs/ROUND3.md), and the replay stacks (B, unroll, 36, D) f32
+      features (~3.2 GB at B=1024; >= 4096 OOMs the 16 GB chip).
+
+    So: the known-safe 16 only on big worlds matching the fault
+    signature (the ~24-scan sub-split world runs 1280-candidate single
+    dispatches fine — round-2 beam-40 logs); otherwise one dispatch up
+    to 1024 candidates, 1024-chunks beyond.
     """
-    if n_scans >= 24:
+    if n_scans >= 48 or n_nodes >= 6000:
         return 16
-    return None if m <= 512 else 512
+    return None if m <= 1024 else 1024
 
 
 def speaker_score_candidates(
@@ -76,10 +86,10 @@ def speaker_score_candidates(
     reproduced on zero features); 16 is the known-safe chunk.  None =
     one dispatch (fastest over a tunnel, but the replay stacks
     (B, unroll, 36, D) f32 features — 4096 padded candidates is ~13 GB
-    and OOMs a 16 GB chip).  "auto" (default) keeps single dispatches
-    small worlds/batches can afford: chunk 16 on many-scan (>= 24)
-    worlds, one dispatch up to 512 candidates otherwise, chunk 512
-    beyond that.
+    and OOMs a 16 GB chip).  "auto" (default) picks the largest safe
+    dispatch via _resolve_score_chunk: 16 only on worlds matching the
+    fault signature (>= 48 scans or >= 6000 nodes), one dispatch up to
+    1024 candidates otherwise, 1024-chunks beyond.
 
     All chunks share one batch-global unroll length, so chunking is
     value-exact vs a single dispatch (the speaker encoder follows the
@@ -98,7 +108,7 @@ def speaker_score_candidates(
 
     if max_device_batch == "auto":
         max_device_batch = _resolve_score_chunk(
-            int(tables.offsets.shape[0]), m
+            int(tables.offsets.shape[0]), int(tables.adj_count.shape[0]), m
         )
     if max_device_batch is not None and m > max_device_batch:
         unroll = unroll_of(candidates_flat)

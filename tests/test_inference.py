@@ -262,18 +262,21 @@ def test_speaker_score_candidates_chunked_matches_unchunked(world):
 
 
 def test_speaker_score_chunk_auto_resolution():
-    """"auto" dispatch sizing: 16 on many-scan (axon-fault) worlds; one
-    dispatch up to 512 candidates otherwise; 512-chunks beyond (replay
-    feature stack would OOM the chip)."""
+    """"auto" dispatch sizing: every dispatch costs seconds over the
+    tunnel, so pick the LARGEST safe chunk — 16 only on worlds matching
+    the axon fault signature (>= 48 scans / >= 6000 nodes); one
+    dispatch up to 1024 candidates otherwise; 1024-chunks beyond
+    (the replay feature stack would OOM the chip)."""
     from speaker_follower_tpu.inference.rational_follower import (
         _resolve_score_chunk,
     )
 
-    assert _resolve_score_chunk(n_scans=61, m=8) == 16
-    assert _resolve_score_chunk(n_scans=24, m=2560) == 16
-    assert _resolve_score_chunk(n_scans=5, m=512) is None
-    assert _resolve_score_chunk(n_scans=5, m=2560) == 512
-    assert _resolve_score_chunk(n_scans=23, m=4096) == 512
+    assert _resolve_score_chunk(n_scans=61, n_nodes=7829, m=8) == 16
+    assert _resolve_score_chunk(n_scans=48, n_nodes=4000, m=256) == 16
+    assert _resolve_score_chunk(n_scans=10, n_nodes=6500, m=256) == 16
+    assert _resolve_score_chunk(n_scans=24, n_nodes=2600, m=1024) is None
+    assert _resolve_score_chunk(n_scans=5, n_nodes=500, m=2560) == 1024
+    assert _resolve_score_chunk(n_scans=47, n_nodes=5999, m=4096) == 1024
 
 
 def test_fused_teacher_scoring_matches_step_loop(world):

@@ -76,9 +76,10 @@ class _SFState(NamedTuple):
     expanded: jnp.ndarray  # (B, K) bool
     is_comp: jnp.ndarray  # (B, K) bool: finished hyp awaiting selection
     steps: jnp.ndarray  # (B, K) int32 action_count
-    tnode: jnp.ndarray  # (B, K, T1) int32 trajectory nodes
-    thead: jnp.ndarray  # (B, K, T1) int32
-    telev: jnp.ndarray  # (B, K, T1) int32
+    # trajectory (node, heading, elev) packed as (n*12 + h)*3 + e in ONE
+    # int32 plane: one scatter per round instead of three, and ~3x less
+    # tunnel transfer when the logs are fetched (unpacked on host)
+    tpos: jnp.ndarray  # (B, K, T1) int32 packed trajectory states
     tact: jnp.ndarray  # (B, K, T1) int32 action leading to entry t (-1 root)
     hptr: jnp.ndarray  # (B, K) int32 flat index into the decode history:
     #   entry's decoder state = hist_h/c[:, ptr // S, ptr % S].  Successors
@@ -98,17 +99,13 @@ class _SFState(NamedTuple):
     comp_heading: jnp.ndarray  # (B, CK) int32
     comp_elev: jnp.ndarray  # (B, CK) int32
     comp_steps: jnp.ndarray  # (B, CK) int32
-    comp_tnode: jnp.ndarray  # (B, CK, T1) int32
-    comp_thead: jnp.ndarray  # (B, CK, T1) int32
-    comp_telev: jnp.ndarray  # (B, CK, T1) int32
+    comp_tpos: jnp.ndarray  # (B, CK, T1) int32 packed trajectory states
     comp_tact: jnp.ndarray  # (B, CK, T1) int32
     comp_tascore: jnp.ndarray  # (B, CK, T1) f32
     # continue-selection log for traversal reconstruction
     sel_valid: jnp.ndarray  # (R, B, S) bool
     sel_steps: jnp.ndarray  # (R, B, S) int32
-    sel_tnode: jnp.ndarray  # (R, B, S, T1) int32
-    sel_thead: jnp.ndarray  # (R, B, S, T1) int32
-    sel_telev: jnp.ndarray  # (R, B, S, T1) int32
+    sel_pos: jnp.ndarray  # (R, B, S, T1) int32 packed trajectory states
     round: jnp.ndarray  # () int32
     overflow: jnp.ndarray  # (B,) bool
     # did the previous round select any continue-entry anywhere?  The
@@ -117,6 +114,16 @@ class _SFState(NamedTuple):
     # (beams): break`) — an instance whose every selection is a finished
     # hypothesis stops making progress once every OTHER instance stops.
     prev_cont: jnp.ndarray  # () bool
+
+
+def _pack_pos(n, h, e):
+    """(node, heading, elev) -> one int32 (works on jnp and np)."""
+    return (n * NUM_HEADINGS + h) * 3 + e
+
+
+def _unpack_pos(p):
+    """Inverse of _pack_pos."""
+    return p // (3 * NUM_HEADINGS), (p // 3) % NUM_HEADINGS, p % 3
 
 
 def _masked_set(arr, bi, idx, values, valid):
@@ -192,9 +199,9 @@ def _search_program(
         expanded=zK(bool),
         is_comp=zK(bool),
         steps=zK(jnp.int32),
-        tnode=zKT(jnp.int32).at[:, 0, 0].set(start_node),
-        thead=zKT(jnp.int32).at[:, 0, 0].set(start_heading),
-        telev=zKT(jnp.int32).at[:, 0, 0].set(1),
+        tpos=zKT(jnp.int32).at[:, 0, 0].set(
+            _pack_pos(start_node, start_heading, 1)
+        ),
         tact=zKT(jnp.int32).at[:, 0, 0].set(-1),
         tascore=zKT(jnp.float32),
         hptr=zK(jnp.int32),
@@ -210,16 +217,12 @@ def _search_program(
         comp_heading=zC(jnp.int32),
         comp_elev=zC(jnp.int32),
         comp_steps=zC(jnp.int32),
-        comp_tnode=zCT(jnp.int32),
-        comp_thead=zCT(jnp.int32),
-        comp_telev=zCT(jnp.int32),
+        comp_tpos=zCT(jnp.int32),
         comp_tact=zCT(jnp.int32),
         comp_tascore=zCT(jnp.float32),
         sel_valid=jnp.zeros((R, b, S), bool),
         sel_steps=jnp.zeros((R, b, S), jnp.int32),
-        sel_tnode=jnp.zeros((R, b, S, T1), jnp.int32),
-        sel_thead=jnp.zeros((R, b, S, T1), jnp.int32),
-        sel_telev=jnp.zeros((R, b, S, T1), jnp.int32),
+        sel_pos=jnp.zeros((R, b, S, T1), jnp.int32),
         round=jnp.int32(0),
         overflow=jnp.zeros((b,), bool),
         prev_cont=jnp.bool_(True),
@@ -283,9 +286,7 @@ def _search_program(
         comp_heading = _masked_set(st.comp_heading, bi, tgt, ch, write)
         comp_elev = _masked_set(st.comp_elev, bi, tgt, ce, write)
         comp_steps = _masked_set(st.comp_steps, bi, tgt, st.steps[bi, sel_idx], write)
-        comp_tnode = _masked_set(st.comp_tnode, bi, tgt, st.tnode[bi, sel_idx], write)
-        comp_thead = _masked_set(st.comp_thead, bi, tgt, st.thead[bi, sel_idx], write)
-        comp_telev = _masked_set(st.comp_telev, bi, tgt, st.telev[bi, sel_idx], write)
+        comp_tpos = _masked_set(st.comp_tpos, bi, tgt, st.tpos[bi, sel_idx], write)
         comp_tact = _masked_set(st.comp_tact, bi, tgt, st.tact[bi, sel_idx], write)
         comp_tascore = _masked_set(
             st.comp_tascore, bi, tgt, st.tascore[bi, sel_idx], write
@@ -295,9 +296,7 @@ def _search_program(
         r = st.round
         sel_valid = st.sel_valid.at[r].set(sel_cont)
         sel_steps_log = st.sel_steps.at[r].set(st.steps[bi, sel_idx])
-        sel_tnode = st.sel_tnode.at[r].set(st.tnode[bi, sel_idx])
-        sel_thead = st.sel_thead.at[r].set(st.thead[bi, sel_idx])
-        sel_telev = st.sel_telev.at[r].set(st.telev[bi, sel_idx])
+        sel_pos = st.sel_pos.at[r].set(st.tpos[bi, sel_idx])
 
         # ---- decoder step on the continue-selections
         sn = st.node[bi, sel_idx]
@@ -313,9 +312,10 @@ def _search_program(
         obs = vecenv.observe(tables, state, flat(sn))  # goal unused
         # previous-action embedding from the parent state + taken action
         p_t = jnp.maximum(ssteps - 1, 0)
-        pn = jnp.take_along_axis(st.tnode[bi, sel_idx], p_t[..., None], axis=2)[..., 0]
-        ph = jnp.take_along_axis(st.thead[bi, sel_idx], p_t[..., None], axis=2)[..., 0]
-        pe = jnp.take_along_axis(st.telev[bi, sel_idx], p_t[..., None], axis=2)[..., 0]
+        ppos = jnp.take_along_axis(
+            st.tpos[bi, sel_idx], p_t[..., None], axis=2
+        )[..., 0]
+        pn, ph, pe = _unpack_pos(ppos)
         act = jnp.take_along_axis(st.tact[bi, sel_idx], ssteps[..., None], axis=2)[..., 0]
         parent_state = vecenv.EnvState(
             scan=scan_f, node=flat(pn), heading=flat(ph), elev=flat(pe),
@@ -375,16 +375,13 @@ def _search_program(
         parent_s = jnp.arange(SA) // A  # selection row of each successor
 
         # trajectories: parent trajectory + one appended state
-        pt_n = st.tnode[bi, sel_idx][:, parent_s]  # (B, SA, T1)
-        pt_h = st.thead[bi, sel_idx][:, parent_s]
-        pt_e = st.telev[bi, sel_idx][:, parent_s]
+        pt_pos = st.tpos[bi, sel_idx][:, parent_s]  # (B, SA, T1)
         pt_a = st.tact[bi, sel_idx][:, parent_s]
         pt_as = st.tascore[bi, sel_idx][:, parent_s]
         t_ix = jnp.arange(T1)[None, None, :]
         at_t = t_ix == jnp.clip(s_steps, 0, T1 - 1)[..., None]
-        s_tnode = jnp.where(at_t, s_node[..., None], pt_n)
-        s_thead = jnp.where(at_t, s_head[..., None], pt_h)
-        s_telev = jnp.where(at_t, s_elev[..., None], pt_e)
+        s_pos_packed = _pack_pos(s_node, s_head, s_elev)
+        s_tpos = jnp.where(at_t, s_pos_packed[..., None], pt_pos)
         s_tact = jnp.where(at_t, s_act[..., None], pt_a)
         s_tascore = jnp.where(at_t, s_lp[..., None], pt_as)
         # append this round's decode states once; successors point at them
@@ -443,9 +440,7 @@ def _search_program(
         expanded = _masked_set(expanded, bi, tgt_k, jnp.zeros((b, SA), bool), write_k)
         is_comp = _masked_set(st.is_comp, bi, tgt_k, s_iscomp, write_k)
         steps = _masked_set(st.steps, bi, tgt_k, s_steps, write_k)
-        tnode = _masked_set(st.tnode, bi, tgt_k, s_tnode, write_k)
-        thead = _masked_set(st.thead, bi, tgt_k, s_thead, write_k)
-        telev = _masked_set(st.telev, bi, tgt_k, s_telev, write_k)
+        tpos = _masked_set(st.tpos, bi, tgt_k, s_tpos, write_k)
         tact = _masked_set(st.tact, bi, tgt_k, s_tact, write_k)
         tascore = _masked_set(st.tascore, bi, tgt_k, s_tascore, write_k)
         hptr = _masked_set(st.hptr, bi, tgt_k, s_ptr, write_k)
@@ -453,16 +448,15 @@ def _search_program(
         return _SFState(
             node=node, heading=heading, elev=elev, in_use=in_use, score=score,
             expanded=expanded, is_comp=is_comp, steps=steps,
-            tnode=tnode, thead=thead, telev=telev, tact=tact, tascore=tascore,
+            tpos=tpos, tact=tact, tascore=tascore,
             hptr=hptr, hist_h=hist_h, hist_c=hist_c,
             comp_in_use=comp_in_use, comp_score=comp_score,
             comp_node=comp_node, comp_heading=comp_heading,
             comp_elev=comp_elev, comp_steps=comp_steps,
-            comp_tnode=comp_tnode, comp_thead=comp_thead,
-            comp_telev=comp_telev, comp_tact=comp_tact,
+            comp_tpos=comp_tpos, comp_tact=comp_tact,
             comp_tascore=comp_tascore,
             sel_valid=sel_valid, sel_steps=sel_steps_log,
-            sel_tnode=sel_tnode, sel_thead=sel_thead, sel_telev=sel_telev,
+            sel_pos=sel_pos,
             round=st.round + 1, overflow=overflow,
             prev_cont=sel_cont.any(),
         )
@@ -579,17 +573,22 @@ def state_factored_search_fused(
         use_glove=use_glove,
     )
     _t1 = time.perf_counter()
-    # one bulk host transfer of the small output tables
+    # bulk host transfer of the small output tables.  Trajectories travel
+    # packed (one int32 plane instead of three) and the selection log is
+    # sliced to the rounds actually used, padded to a multiple of 64 so at
+    # most 5 slice programs ever compile — transfer time is the dominant
+    # per-dispatch cost over the tunneled backend.
     get = lambda x: np.asarray(x)
+    rounds = int(st.round)
+    r_pad = min(max_rounds, -(-max(rounds, 1) // 64) * 64)
     comp_in_use = get(st.comp_in_use)
     comp_score = get(st.comp_score)
     comp_steps = get(st.comp_steps)
-    comp_tn, comp_th, comp_te = get(st.comp_tnode), get(st.comp_thead), get(st.comp_telev)
+    comp_tn, comp_th, comp_te = _unpack_pos(get(st.comp_tpos))
     comp_ta, comp_tas = get(st.comp_tact), get(st.comp_tascore)
-    sel_valid = get(st.sel_valid)
-    sel_steps = get(st.sel_steps)
-    sel_tn, sel_th, sel_te = get(st.sel_tnode), get(st.sel_thead), get(st.sel_telev)
-    rounds = int(st.round)
+    sel_valid = get(st.sel_valid[:r_pad])
+    sel_steps = get(st.sel_steps[:r_pad])
+    sel_tn, sel_th, sel_te = _unpack_pos(get(st.sel_pos[:r_pad]))
     overflow = get(st.overflow)
     b = comp_in_use.shape[0]
     sys.stderr.write(

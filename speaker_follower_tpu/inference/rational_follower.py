@@ -54,12 +54,15 @@ def _resolve_score_chunk(n_scans: int, n_nodes: int, m: int) -> int | None:
       docs/ROUND3.md), and the replay stacks (B, unroll, 36, D) f32
       features (~3.2 GB at B=1024; >= 4096 OOMs the 16 GB chip).
 
-    So: the known-safe 16 only on big worlds matching the fault
-    signature (the ~24-scan sub-split world runs 1280-candidate single
-    dispatches fine — round-2 beam-40 logs); otherwise one dispatch up
-    to 1024 candidates, 1024-chunks beyond.
+    So: the known-safe 16 only on worlds at least as big as the fault
+    world.  The boundary is empirical and tight: the 55-scan/7,418-node
+    sub-split val world ran 1280-candidate single dispatches repeatedly
+    without faults (round-2 beam-40 logs), the 61-scan/7,829-node full
+    val world faults at >= ~24.  Otherwise one dispatch up to 1024
+    candidates, 1024-chunks beyond.  Override per run with
+    --speaker_score_batch.
     """
-    if n_scans >= 48 or n_nodes >= 6000:
+    if n_scans >= 58 or n_nodes >= 7600:
         return 16
     return None if m <= 1024 else 1024
 

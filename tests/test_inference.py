@@ -272,11 +272,13 @@ def test_speaker_score_chunk_auto_resolution():
     )
 
     assert _resolve_score_chunk(n_scans=61, n_nodes=7829, m=8) == 16
-    assert _resolve_score_chunk(n_scans=48, n_nodes=4000, m=256) == 16
-    assert _resolve_score_chunk(n_scans=10, n_nodes=6500, m=256) == 16
-    assert _resolve_score_chunk(n_scans=24, n_nodes=2600, m=1024) is None
+    assert _resolve_score_chunk(n_scans=58, n_nodes=4000, m=256) == 16
+    assert _resolve_score_chunk(n_scans=10, n_nodes=7700, m=256) == 16
+    # the 55-scan/7418-node sub-split val world: empirically safe at
+    # 1280-candidate single dispatches (round-2 beam-40 logs)
+    assert _resolve_score_chunk(n_scans=55, n_nodes=7418, m=1024) is None
+    assert _resolve_score_chunk(n_scans=55, n_nodes=7418, m=2560) == 1024
     assert _resolve_score_chunk(n_scans=5, n_nodes=500, m=2560) == 1024
-    assert _resolve_score_chunk(n_scans=47, n_nodes=5999, m=4096) == 1024
 
 
 def test_fused_teacher_scoring_matches_step_loop(world):

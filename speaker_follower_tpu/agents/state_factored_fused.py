@@ -107,6 +107,9 @@ class _SFState(NamedTuple):
     sel_steps: jnp.ndarray  # (R, B, S) int32
     sel_pos: jnp.ndarray  # (R, B, S, T1) int32 packed trajectory states
     round: jnp.ndarray  # () int32
+    lane_rounds: jnp.ndarray  # (B,) int32: rounds in which this lane
+    #   selected anything (its personal search length; stops growing once
+    #   the lane is done while stragglers keep the chunk alive)
     overflow: jnp.ndarray  # (B,) bool
     # did the previous round select any continue-entry anywhere?  The
     # reference breaks its loop when all beams are empty even if some
@@ -224,6 +227,7 @@ def _search_program(
         sel_steps=jnp.zeros((R, b, S), jnp.int32),
         sel_pos=jnp.zeros((R, b, S, T1), jnp.int32),
         round=jnp.int32(0),
+        lane_rounds=jnp.zeros((b,), jnp.int32),
         overflow=jnp.zeros((b,), bool),
         prev_cont=jnp.bool_(True),
     )
@@ -457,7 +461,9 @@ def _search_program(
             comp_tascore=comp_tascore,
             sel_valid=sel_valid, sel_steps=sel_steps_log,
             sel_pos=sel_pos,
-            round=st.round + 1, overflow=overflow,
+            round=st.round + 1,
+            lane_rounds=st.lane_rounds + sel_ok.any(axis=1),
+            overflow=overflow,
             prev_cont=sel_cont.any(),
         )
 
@@ -480,6 +486,25 @@ def _hyp_chain(tn, th, te, ta, tas, steps, total_score=None):
     return hyp
 
 
+_ARRAY_KEYS = (
+    "scan", "start_node", "goal_node", "heading",
+    "seq", "seq_mask", "seq_length",
+)
+
+
+def _index_batch(batch, idx):
+    """Take rows ``idx`` (list of ints) from a host batch dict."""
+    out = {}
+    for k, v in batch.items():
+        if k in _ARRAY_KEYS:
+            out[k] = np.asarray(v)[np.asarray(idx)]
+        elif isinstance(v, (list, tuple)):
+            out[k] = [v[i] for i in idx]
+        else:
+            out[k] = v
+    return out
+
+
 def state_factored_search_fused(
     params,
     tables: vecenv.EnvTables,
@@ -494,6 +519,7 @@ def state_factored_search_fused(
     table_capacity: int = 1024,
     use_glove: bool = True,
     max_device_batch: int | None = 64,
+    first_pass_rounds: int | str | None = "auto",
 ):
     """Drop-in for state_factored.state_factored_search, one device call.
 
@@ -519,22 +545,37 @@ def state_factored_search_fused(
     ``max_device_batch`` (repeating row 0), so the program compiles ONCE
     and is reused; padded rows are dropped on the host.  None disables
     chunking.
+
+    ``first_pass_rounds``: straggler repacking for chunked batches.  A
+    single SIMD dispatch runs EVERY lane for the chunk's max round count,
+    so one slow instruction taxes the whole chunk (measured ~4x/instr at
+    B=64 vs B=16 without this).  With repacking, every chunk first runs
+    with this smaller round budget; lanes still unfinished at the budget
+    are collected ACROSS chunks, repacked densely, and re-run from
+    scratch with the full ``max_rounds`` budget.  Each lane's search is
+    independent of its chunk-mates (all per-lane ops are masked), so
+    results are identical — only the global all-beams-empty early-stop
+    (see ``prev_cont``) is chunk-composition-dependent, exactly as the
+    reference's is minibatch-dependent.  "auto" scales with the target
+    (see ``_resolve_first_pass``); 0/None disables repacking.
     """
     if max_rounds is None:
         max_rounds = max(100, 8 * completion_size)
     b_total = len(np.asarray(batch["scan"]))
     if max_device_batch is not None and b_total > max_device_batch:
-        array_keys = [
-            "scan", "start_node", "goal_node", "heading",
-            "seq", "seq_mask", "seq_length",
-        ]
-        all_c, all_comp, all_trav = [], [], []
+        r1 = _resolve_first_pass(
+            first_pass_rounds, completion_size, episode_len, max_rounds
+        )
+        all_c = [None] * b_total
+        all_comp = [None] * b_total
+        all_trav = [None] * b_total
+        rerun_idx = []
         for c0 in range(0, b_total, max_device_batch):
             c1 = min(c0 + max_device_batch, b_total)
             pad = max_device_batch - (c1 - c0)
             chunk = {}
             for k, v in batch.items():
-                if k in array_keys:
+                if k in _ARRAY_KEYS:
                     v = np.asarray(v)
                     part = v[c0:c1]
                     if pad:
@@ -547,19 +588,96 @@ def state_factored_search_fused(
                     chunk[k] = part + [part[0]] * pad
                 else:
                     chunk[k] = v
-            cands, comps, travs = state_factored_search_fused(
-                params, tables, chunk, graph_bank,
+            cands, comps, travs, lane_rounds, comp_counts, rounds_used = (
+                _run_single(
+                    params, tables, chunk, graph_bank,
+                    completion_size=completion_size,
+                    successor_size=successor_size,
+                    episode_len=episode_len, first_n_ws_key=first_n_ws_key,
+                    max_rounds=r1, table_capacity=table_capacity,
+                    use_glove=use_glove,
+                    warn_truncation=(r1 >= max_rounds),
+                )
+            )
+            for j in range(c1 - c0):
+                gi = c0 + j
+                unfinished = (
+                    r1 < max_rounds
+                    and rounds_used >= r1
+                    and lane_rounds[j] >= r1
+                    and comp_counts[j] < completion_size
+                )
+                if unfinished:
+                    rerun_idx.append(gi)
+                else:
+                    all_c[gi] = cands[j]
+                    all_comp[gi] = comps[j]
+                    all_trav[gi] = travs[j]
+        if rerun_idx:
+            sys.stderr.write(
+                f"[fused_search] repacking {len(rerun_idx)}/{b_total} "
+                f"stragglers past the {r1}-round first pass\n"
+            )
+            sub = _index_batch(batch, rerun_idx)
+            sc, scomp, strav = state_factored_search_fused(
+                params, tables, sub, graph_bank,
                 completion_size=completion_size,
                 successor_size=successor_size,
                 episode_len=episode_len, first_n_ws_key=first_n_ws_key,
                 max_rounds=max_rounds, table_capacity=table_capacity,
-                use_glove=use_glove, max_device_batch=None,
+                use_glove=use_glove, max_device_batch=max_device_batch,
+                first_pass_rounds=0,
             )
-            all_c.extend(cands[: c1 - c0])
-            all_comp.extend(comps[: c1 - c0])
-            all_trav.extend(travs[: c1 - c0])
+            for j, gi in enumerate(rerun_idx):
+                all_c[gi] = sc[j]
+                all_comp[gi] = scomp[j]
+                all_trav[gi] = strav[j]
         return all_c, all_comp, all_trav
 
+    cands, comps, travs, _, _, _ = _run_single(
+        params, tables, batch, graph_bank,
+        completion_size=completion_size, successor_size=successor_size,
+        episode_len=episode_len, first_n_ws_key=first_n_ws_key,
+        max_rounds=max_rounds, table_capacity=table_capacity,
+        use_glove=use_glove,
+    )
+    return cands, comps, travs
+
+
+def _resolve_first_pass(first_pass_rounds, completion_size, episode_len, max_rounds):
+    """Resolve the pass-1 round budget; <= 0 / None disables repacking
+    (pass 1 then runs the full budget and nothing is ever re-run)."""
+    if first_pass_rounds == "auto":
+        # with successor_size=1 a lane needs >= completion_size selecting
+        # rounds just to fill its completion table; typical lanes land
+        # within ~2x that plus episode-length slack (measured
+        # distribution: runs/README.md round-3 repack notes)
+        return min(max_rounds, max(64, 2 * completion_size + 2 * episode_len))
+    if not first_pass_rounds:
+        return max_rounds
+    return min(max_rounds, int(first_pass_rounds))
+
+
+def _run_single(
+    params,
+    tables: vecenv.EnvTables,
+    batch,
+    graph_bank,
+    *,
+    completion_size: int,
+    successor_size: int,
+    episode_len: int,
+    first_n_ws_key: int,
+    max_rounds: int,
+    table_capacity: int,
+    use_glove: bool,
+    warn_truncation: bool = True,
+):
+    """One device dispatch + host result assembly for one (padded) chunk.
+
+    Returns (candidates, completed_lists, traversed, lane_rounds,
+    comp_counts, rounds_used); the last three drive straggler repacking.
+    """
     _t0 = time.perf_counter()
     st = _search_program(
         params, tables,
@@ -590,10 +708,12 @@ def state_factored_search_fused(
     sel_steps = get(st.sel_steps[:r_pad])
     sel_tn, sel_th, sel_te = _unpack_pos(get(st.sel_pos[:r_pad]))
     overflow = get(st.overflow)
+    lane_rounds = get(st.lane_rounds)
     b = comp_in_use.shape[0]
     sys.stderr.write(
         f"[fused_search]   B={b} dispatch {_t1 - _t0:.1f}s  fetch "
-        f"{time.perf_counter() - _t1:.1f}s  rounds {rounds}/{max_rounds}\n"
+        f"{time.perf_counter() - _t1:.1f}s  rounds {rounds}/{max_rounds}  "
+        f"lane-rounds mean {lane_rounds.mean():.0f} max {lane_rounds.max()}\n"
     )
     sys.stderr.flush()
 
@@ -607,10 +727,9 @@ def state_factored_search_fused(
             f"table_capacity for exact reference semantics",
             stacklevel=2,
         )
-    n_short = sum(
-        1 for i in range(b) if comp_in_use[i].sum() < completion_size
-    )
-    if rounds >= max_rounds and n_short:
+    comp_counts = comp_in_use.sum(axis=1)
+    n_short = int((comp_counts < completion_size).sum())
+    if warn_truncation and rounds >= max_rounds and n_short:
         import warnings
 
         warnings.warn(
@@ -694,4 +813,4 @@ def state_factored_search_fused(
                 }
             )
         candidates.append(cands)
-    return candidates, completed_lists, traversed
+    return candidates, completed_lists, traversed, lane_rounds, comp_counts, rounds

@@ -341,6 +341,32 @@ def test_fused_search_data_parallel_mesh(world):
 
 
 @pytest.mark.slow
+def test_fused_straggler_repack_matches_unchunked(world):
+    """A tiny first-pass budget forces every lane through the straggler
+    repack path (pass-1 chunks at 3 rounds, dense re-run at the full
+    budget); per-lane searches are chunk-independent, so results must be
+    identical to the single full-budget dispatch."""
+    from speaker_follower_tpu.agents import state_factored_fused as sff
+
+    bank, tables, params, enc = world
+    kw = dict(completion_size=4, successor_size=2, episode_len=10)
+    whole = sff.state_factored_search_fused(
+        params, tables, enc, bank, max_device_batch=None, **kw
+    )
+    repacked = sff.state_factored_search_fused(
+        params, tables, enc, bank, max_device_batch=3,
+        first_pass_rounds=3, **kw
+    )
+    assert len(repacked[0]) == len(whole[0]) == 4
+    for wc, cc in zip(whole[0], repacked[0]):
+        assert [(c["instr_id"], c["trajectory"], round(c["score"], 4)) for c in wc] == \
+            [(c["instr_id"], c["trajectory"], round(c["score"], 4)) for c in cc]
+    for wl, cl in zip(whole[1], repacked[1]):
+        assert [((h.node, h.heading, h.elev), round(h.score, 4)) for h in wl] == \
+            [((h.node, h.heading, h.elev), round(h.score, 4)) for h in cl]
+
+
+@pytest.mark.slow
 def test_fused_chunked_dispatch_matches_unchunked(world):
     """max_device_batch chunks the fused search into fixed-shape padded
     dispatches (compile-time control on the real backend); results must be

@@ -37,6 +37,11 @@ def make_arg_parser():
         "default in agents.state_factored_fused)",
     )
     parser.add_argument(
+        "--sf_first_pass", type=int, default=None,
+        help="fused-search straggler-repack first-pass round budget "
+        "(default: auto; 0 disables repacking)",
+    )
+    parser.add_argument(
         "--speaker_score_batch", type=int, default=None,
         help="chunk speaker replay+scoring dispatches to this many "
         "candidates; default auto (16 only on axon-fault-sized worlds, "
@@ -88,6 +93,7 @@ def validate_entry_point(args):
             state_factored_search=args.state_factored_search,
             fused_search=args.fused_search,
             fused_search_chunk=args.sf_chunk,
+            fused_first_pass=args.sf_first_pass,
             state_first_n_ws_key=args.state_first_n_ws_key,
             physical_traversal=args.physical_traversal,
             use_glove=use_glove,

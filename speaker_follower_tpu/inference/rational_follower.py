@@ -197,13 +197,16 @@ def generate_candidates(
     use_glove: bool = True,
     fused: bool = False,
     fused_chunk: int | None = None,
+    fused_first_pass: int | None = None,
 ):
     """Per-instance candidate lists (+ traversal lists for state-factored).
 
     ``fused`` runs the whole state-factored search as one device program
     (agents/state_factored_fused.py) instead of the host-orchestrated
     loop — same results, one dispatch for all rounds.  ``fused_chunk``
-    overrides the per-dispatch instance cap (None = module default)."""
+    overrides the per-dispatch instance cap (None = module default);
+    ``fused_first_pass`` the straggler-repack first-pass round budget
+    (None = auto, 0 disables repacking)."""
     db = {
         k: jnp.asarray(enc[k])
         for k in ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
@@ -221,6 +224,8 @@ def generate_candidates(
                 {} if fused_chunk is None
                 else {"max_device_batch": fused_chunk}
             )
+            if fused_first_pass is not None:
+                chunk_kw["first_pass_rounds"] = fused_first_pass
             return _retry_transient(attempts=6, base_delay=45.0, fn=lambda: state_factored_search_fused(
                 follower_params, tables, enc, graph_bank,
                 completion_size=beam_size, successor_size=1,
@@ -259,6 +264,7 @@ def run_rational_follower(
     use_glove: bool = True,
     fused_search: bool = False,
     fused_search_chunk: int | None = None,
+    fused_first_pass: int | None = None,
     output_file=None,
     eval_file=None,
     speaker_score_batch: int | None | str = "auto",
@@ -290,6 +296,7 @@ def run_rational_follower(
             follower_params, tables, enc, graph_bank,
             beam_size=beam_size, state_factored=state_factored_search,
             fused=fused_search, fused_chunk=fused_search_chunk,
+            fused_first_pass=fused_first_pass,
             state_first_n_ws_key=state_first_n_ws_key, use_glove=use_glove,
         )
         _t1 = time.perf_counter()

@@ -649,10 +649,15 @@ def _resolve_first_pass(first_pass_rounds, completion_size, episode_len, max_rou
     (pass 1 then runs the full budget and nothing is ever re-run)."""
     if first_pass_rounds == "auto":
         # with successor_size=1 a lane needs >= completion_size selecting
-        # rounds just to fill its completion table; typical lanes land
-        # within ~2x that plus episode-length slack (measured
-        # distribution: runs/README.md round-3 repack notes)
-        return min(max_rounds, max(64, 2 * completion_size + 2 * episode_len))
+        # rounds just to fill its completion table; measured lane-round
+        # distributions (sub_val_unseen, zero features, trained follower
+        # — runs/README.md round-3 repack notes) put p85-p93 near
+        # 3.5*completion + episode slack: beam 10 mean 46 p90 66 max 100,
+        # beam 40 mean 111 p90 143 max 172
+        return min(
+            max_rounds,
+            max(64, (7 * completion_size) // 2 + episode_len),
+        )
     if not first_pass_rounds:
         return max_rounds
     return min(max_rounds, int(first_pass_rounds))

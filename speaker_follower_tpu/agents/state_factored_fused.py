@@ -519,7 +519,7 @@ def state_factored_search_fused(
     table_capacity: int = 1024,
     use_glove: bool = True,
     max_device_batch: int | None = 64,
-    first_pass_rounds: int | str | None = "auto",
+    first_pass_rounds: int | str | None = 0,
 ):
     """Drop-in for state_factored.state_factored_search, one device call.
 
@@ -548,16 +548,27 @@ def state_factored_search_fused(
 
     ``first_pass_rounds``: straggler repacking for chunked batches.  A
     single SIMD dispatch runs EVERY lane for the chunk's max round count,
-    so one slow instruction taxes the whole chunk (measured ~4x/instr at
-    B=64 vs B=16 without this).  With repacking, every chunk first runs
-    with this smaller round budget; lanes still unfinished at the budget
-    are collected ACROSS chunks, repacked densely, and re-run from
-    scratch with the full ``max_rounds`` budget.  Each lane's search is
-    independent of its chunk-mates (all per-lane ops are masked), so
-    results are identical — only the global all-beams-empty early-stop
-    (see ``prev_cont``) is chunk-composition-dependent, exactly as the
-    reference's is minibatch-dependent.  "auto" scales with the target
-    (see ``_resolve_first_pass``); 0/None disables repacking.
+    so one slow instruction taxes the whole chunk with extra rounds.
+    With repacking, every chunk first runs with this smaller round
+    budget; lanes still unfinished at the budget are collected ACROSS
+    chunks, repacked densely, and re-run from scratch with the full
+    ``max_rounds`` budget.  Each lane's search is independent of its
+    chunk-mates (all per-lane ops are masked), so results are identical
+    — only the global all-beams-empty early-stop (see ``prev_cont``) is
+    chunk-composition-dependent, exactly as the reference's is
+    minibatch-dependent.  "auto" scales the budget with the completion
+    target (see ``_resolve_first_pass``); 0/None (the default) disables
+    repacking.
+
+    Default OFF because measured v5e numbers say extra rounds are nearly
+    free on-device while repacking pays extra dispatches: beam-40
+    lane-rounds are tight (mean 111, chunk-64 max ~160), a 163-round
+    B=64 dispatch EXECUTES in 0.2 s (vs ~1-3 s tunnel fetch and 6-18 s
+    one-time compile), and the 128-instr A/B is 90 ms/instr one-pass vs
+    157 ms/instr repacked (runs/probe_sf_repack_r3.log).  Repacking is
+    for exec-bound backends (e.g. CPU, where per-round cost dominates)
+    or heavily truncation-bound configs where chunk-max rounds >>
+    lane-median.
     """
     if max_rounds is None:
         max_rounds = max(100, 8 * completion_size)

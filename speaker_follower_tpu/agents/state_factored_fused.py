@@ -111,6 +111,10 @@ class _SFState(NamedTuple):
     #   selected anything (its personal search length; stops growing once
     #   the lane is done while stragglers keep the chunk alive)
     overflow: jnp.ndarray  # (B,) bool
+    peak_in_use: jnp.ndarray  # (B,) int32 running max of dedup-table
+    #   occupancy — the data that sizes ``table_capacity`` (see
+    #   scripts/probe_sf_capacity.py and the capacity note in
+    #   state_factored_search_fused)
     # did the previous round select any continue-entry anywhere?  The
     # reference breaks its loop when all beams are empty even if some
     # instances are below completion_size (follower.py: `if not any
@@ -229,6 +233,7 @@ def _search_program(
         round=jnp.int32(0),
         lane_rounds=jnp.zeros((b,), jnp.int32),
         overflow=jnp.zeros((b,), bool),
+        peak_in_use=jnp.ones((b,), jnp.int32),
         prev_cont=jnp.bool_(True),
     )
 
@@ -464,6 +469,9 @@ def _search_program(
             round=st.round + 1,
             lane_rounds=st.lane_rounds + sel_ok.any(axis=1),
             overflow=overflow,
+            peak_in_use=jnp.maximum(
+                st.peak_in_use, in_use.sum(axis=1).astype(jnp.int32)
+            ),
             prev_cont=sel_cont.any(),
         )
 
@@ -599,7 +607,7 @@ def state_factored_search_fused(
                     chunk[k] = part + [part[0]] * pad
                 else:
                     chunk[k] = v
-            cands, comps, travs, lane_rounds, comp_counts, rounds_used = (
+            cands, comps, travs, lane_rounds, comp_counts, rounds_used, _ = (
                 _run_single(
                     params, tables, chunk, graph_bank,
                     completion_size=completion_size,
@@ -629,7 +637,13 @@ def state_factored_search_fused(
                 f"[fused_search] repacking {len(rerun_idx)}/{b_total} "
                 f"stragglers past the {r1}-round first pass\n"
             )
-            sub = _index_batch(batch, rerun_idx)
+            # pad the rerun to a multiple of max_device_batch (repeating
+            # lane 0) so the full-budget program compiles for exactly one
+            # shape and is reused — an unpadded straggler batch would
+            # compile a fresh XLA program per distinct straggler count
+            # (6-18 s each on v5e)
+            pad_n = (-len(rerun_idx)) % max_device_batch
+            sub = _index_batch(batch, rerun_idx + [rerun_idx[0]] * pad_n)
             sc, scomp, strav = state_factored_search_fused(
                 params, tables, sub, graph_bank,
                 completion_size=completion_size,
@@ -645,7 +659,7 @@ def state_factored_search_fused(
                 all_trav[gi] = strav[j]
         return all_c, all_comp, all_trav
 
-    cands, comps, travs, _, _, _ = _run_single(
+    cands, comps, travs, _, _, _, _ = _run_single(
         params, tables, batch, graph_bank,
         completion_size=completion_size, successor_size=successor_size,
         episode_len=episode_len, first_n_ws_key=first_n_ws_key,
@@ -669,7 +683,7 @@ def _resolve_first_pass(first_pass_rounds, completion_size, episode_len, max_rou
             max_rounds,
             max(64, (7 * completion_size) // 2 + episode_len),
         )
-    if not first_pass_rounds:
+    if not first_pass_rounds or int(first_pass_rounds) <= 0:
         return max_rounds
     return min(max_rounds, int(first_pass_rounds))
 
@@ -692,7 +706,9 @@ def _run_single(
     """One device dispatch + host result assembly for one (padded) chunk.
 
     Returns (candidates, completed_lists, traversed, lane_rounds,
-    comp_counts, rounds_used); the last three drive straggler repacking.
+    comp_counts, rounds_used, peak_in_use); lane_rounds/comp_counts/
+    rounds_used drive straggler repacking, peak_in_use is the measured
+    per-lane dedup-table occupancy maximum (sizes table_capacity).
     """
     _t0 = time.perf_counter()
     st = _search_program(
@@ -725,11 +741,14 @@ def _run_single(
     sel_tn, sel_th, sel_te = _unpack_pos(get(st.sel_pos[:r_pad]))
     overflow = get(st.overflow)
     lane_rounds = get(st.lane_rounds)
+    peak_in_use = get(st.peak_in_use)
     b = comp_in_use.shape[0]
     sys.stderr.write(
         f"[fused_search]   B={b} dispatch {_t1 - _t0:.1f}s  fetch "
         f"{time.perf_counter() - _t1:.1f}s  rounds {rounds}/{max_rounds}  "
-        f"lane-rounds mean {lane_rounds.mean():.0f} max {lane_rounds.max()}\n"
+        f"lane-rounds mean {lane_rounds.mean():.0f} max {lane_rounds.max()}  "
+        f"table peak mean {peak_in_use.mean():.0f} max {peak_in_use.max()}"
+        f"/{table_capacity}\n"
     )
     sys.stderr.flush()
 
@@ -829,4 +848,5 @@ def _run_single(
                 }
             )
         candidates.append(cands)
-    return candidates, completed_lists, traversed, lane_rounds, comp_counts, rounds
+    return (candidates, completed_lists, traversed, lane_rounds,
+            comp_counts, rounds, peak_in_use)

@@ -16,6 +16,11 @@ from ..utils.misc import run
 from . import common
 
 
+def _int_or_auto(s):
+    """argparse type for --sf_first_pass: 'auto' or an integer."""
+    return s if s == "auto" else int(s)
+
+
 def make_arg_parser():
     import argparse
 
@@ -37,9 +42,12 @@ def make_arg_parser():
         "default in agents.state_factored_fused)",
     )
     parser.add_argument(
-        "--sf_first_pass", type=int, default=None,
-        help="fused-search straggler-repack first-pass round budget "
-        "(default: auto; 0 disables repacking)",
+        "--sf_first_pass", type=_int_or_auto, default=None,
+        help="fused-search straggler-repack first-pass round budget: an "
+        "integer, or 'auto' for the measured-distribution budget "
+        "(agents.state_factored_fused._resolve_first_pass). Default: "
+        "repacking OFF (module default; see the measured rationale in "
+        "state_factored_search_fused's docstring)",
     )
     parser.add_argument(
         "--speaker_score_batch", type=int, default=None,

@@ -197,7 +197,7 @@ def generate_candidates(
     use_glove: bool = True,
     fused: bool = False,
     fused_chunk: int | None = None,
-    fused_first_pass: int | None = None,
+    fused_first_pass: int | str | None = None,
 ):
     """Per-instance candidate lists (+ traversal lists for state-factored).
 
@@ -205,8 +205,9 @@ def generate_candidates(
     (agents/state_factored_fused.py) instead of the host-orchestrated
     loop — same results, one dispatch for all rounds.  ``fused_chunk``
     overrides the per-dispatch instance cap (None = module default);
-    ``fused_first_pass`` the straggler-repack first-pass round budget
-    (None = auto, 0 disables repacking)."""
+    ``fused_first_pass`` the straggler-repack first-pass round budget:
+    an int, or "auto" for the measured-distribution budget (None = module
+    default, which is repacking OFF; 0/negative also disable it)."""
     db = {
         k: jnp.asarray(enc[k])
         for k in ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]
@@ -264,7 +265,7 @@ def run_rational_follower(
     use_glove: bool = True,
     fused_search: bool = False,
     fused_search_chunk: int | None = None,
-    fused_first_pass: int | None = None,
+    fused_first_pass: int | str | None = None,
     output_file=None,
     eval_file=None,
     speaker_score_batch: int | None | str = "auto",

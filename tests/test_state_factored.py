@@ -364,6 +364,9 @@ def test_fused_straggler_repack_matches_unchunked(world):
     for wl, cl in zip(whole[1], repacked[1]):
         assert [((h.node, h.heading, h.elev), round(h.score, 4)) for h in wl] == \
             [((h.node, h.heading, h.elev), round(h.score, 4)) for h in cl]
+    for wt, ct in zip(whole[2], repacked[2]):
+        assert [(h.node, h.heading, h.elev) for h in wt] == \
+            [(h.node, h.heading, h.elev) for h in ct]
 
 
 @pytest.mark.slow

@@ -17,11 +17,13 @@ f32 the largest fitting batch is 1408 (1536 misses HBM by 48 MB).
 Overridables:
 BENCH_BATCH, BENCH_COMPUTE=f32|bf16, BENCH_REMAT=1 (activation
 rematerialization: fits bigger batches but the recompute costs more than
-the amortization buys), BENCH_SKIP_INFERENCE=0 (adds the Pallas greedy-
-inference phase — opt-in: its large-batch remote compile is minutes and
-occasionally kills the tunnel worker), BENCH_TRAIN_PALLAS=0 (plain XLA
-pano path; since round 3 the fused custom-VJP kernel is the default:
-b2048 fwd+bwd 132 ms vs 213 ms after the Mosaic backward-lowering fix).
+the amortization buys), BENCH_SKIP_INFERENCE=1 (drops the greedy-rollout
+side phase entirely), BENCH_FULL_INFERENCE=1 (runs the rollout phase at
+the full BENCH_BATCH instead of the bounded default 1024 — opt-in: the
+large-batch remote compile is minutes over the tunnel and occasionally
+kills the worker), BENCH_TRAIN_PALLAS=0 (plain XLA pano path; since
+round 3 the fused custom-VJP kernel is the default: b2048 fwd+bwd 132 ms
+vs 213 ms after the Mosaic backward-lowering fix).
 Measured sweep (train eps/s): 1024/f32 6585, 1408/f32 7300, 2048/f32 OOM,
 2048/f32+remat 5764, 1024/bf16 8443, 2048/bf16 9994, 4096/bf16 OOM,
 4096/bf16+remat 8117; round 3 with the fixed pallas train path:
@@ -36,9 +38,10 @@ class: fwd+bwd+optimizer).
 
 Also printed as [bench] stderr lines (not the JSON): train-step throughput
 at the reference's own batch 100, estimated MFU from XLA's cost analysis,
-and the greedy-inference throughput (the round-1 metric, kept for
-continuity — NOTE it compares inference against the training baseline and
-overstates accordingly).
+the greedy-inference throughput (the round-1 metric, kept for continuity —
+NOTE it compares inference against the training baseline and overstates
+accordingly), and the speaker train-step throughput.  The side phases run
+AFTER the JSON is printed so no side-phase failure can cost the headline.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -125,12 +128,16 @@ def main():
     feats_bf16 = jax.random.normal(
         jax.random.PRNGKey(0), (bank.total_nodes, 36, FEAT_DIM), jnp.bfloat16
     )
-    # Inference phase is OPT-IN (BENCH_SKIP_INFERENCE=0): its large-batch
-    # Pallas compile is 1-12+ min over the tunnel (occasionally
-    # worker-killing), and the JSON headline is the train step anyway.
-    skip_inference = os.environ.get("BENCH_SKIP_INFERENCE", "1") == "1"
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and not skip_inference
-    tables = vecenv.make_env_tables(bank, feats_bf16, pad_views=use_pallas)
+    # default ON since round 3: the fused custom-VJP pano kernel beats the
+    # XLA gather path end-to-end on chip (b2048 fwd+bwd 132 ms vs 213 ms,
+    # runs/profile_b2048_{base,pallas}_r3.log); BENCH_TRAIN_PALLAS=0
+    # benches the plain XLA path.
+    train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "1") == "1"
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        # compiled (non-interpret) Pallas needs the TPU backend; CPU
+        # smoke runs bench the XLA pano path instead
+        train_pallas = False
+    tables_train = vecenv.make_env_tables(bank, feats_bf16, pad_views=train_pallas)
     sys.stderr.write(
         f"[bench] {len(scans)} scans, {bank.total_nodes} nodes, "
         f"setup {time.time() - t0:.1f}s, device={jax.devices()[0]}\n"
@@ -169,99 +176,12 @@ def main():
         "seq_length": jnp.asarray(lengths),
     }
 
-    # outer jit with positional args: calling a partial-jitted fn with
-    # static kwargs costs ~28 ms of host dispatch per call on this 1-core
-    # host — 65x the device time
-    run = jax.jit(
-        lambda p, t, b, k: (
-            lambda o=rollout(
-                p, t, b, k,
-                feedback="argmax", episode_len=EPISODE_LEN, deterministic=True,
-                use_pallas=use_pallas,
-            ): (o.nodes, o.score)
-        )()
-    )
-
-    key = jax.random.PRNGKey(1)
-    if skip_inference:
-        sys.stderr.write("[bench] BENCH_SKIP_INFERENCE=1: train-step only\n")
-    t0 = time.time()
-    if not skip_inference:
-      try:
-          nodes, score = run(params, tables, batch, key)
-          np.asarray(nodes)  # block_until_ready returns early over the tunnel
-      except Exception as e:  # pallas remote-compile hiccup: fall back to XLA
-          if not use_pallas:
-              raise
-          sys.stderr.write(f"[bench] pallas path failed ({type(e).__name__}); "
-                           "falling back to XLA\n")
-          use_pallas = False
-          tables = vecenv.make_env_tables(bank, feats_bf16)
-          run = jax.jit(
-              lambda p, t, b, k: (
-                  lambda o=rollout(
-                      p, t, b, k,
-                      feedback="argmax", episode_len=EPISODE_LEN,
-                      deterministic=True,
-                  ): (o.nodes, o.score)
-              )()
-          )
-          nodes, score = run(params, tables, batch, key)
-          np.asarray(nodes)
-      sys.stderr.write(f"[bench] compile+first run {time.time() - t0:.1f}s\n")
-
-      for _ in range(N_WARMUP - 1):
-          np.asarray(run(params, tables, batch, key)[0])
-
-      # pipelined dispatch, then fetch EVERY result: the only honest timing
-      # through the tunnel (block_until_ready under-reports)
-      t0 = time.time()
-      outs = [
-          run(params, tables, batch, jax.random.fold_in(key, i))
-          for i in range(N_ITERS)
-      ]
-      for nodes, score in outs:
-          np.asarray(nodes)
-          np.asarray(score)
-      dt = time.time() - t0
-
-      eps_per_sec = BATCH * N_ITERS / dt
-      sys.stderr.write(
-          f"[bench] {N_ITERS} x {BATCH} greedy episodes in {dt:.2f}s -> "
-          f"{eps_per_sec:.0f} eps/s INFERENCE (batch {BATCH}"
-          f"{', pallas' if use_pallas else ''}; not baseline-comparable)\n"
-      )
-
     # ---------------- train-step benchmark (the headline) ----------------
     # fwd (sample-feedback rollout) + bwd + Adam/wd, K steps chained in one
     # lax.scan so host/tunnel dispatch is amortized out of the measurement.
     import jax.lax as lax
 
     from speaker_follower_tpu.training.optim import adam_with_torch_wd
-
-    # default ON since round 3: the fused custom-VJP pano kernel beats the
-    # XLA gather path end-to-end on chip (b2048 fwd+bwd 132 ms vs 213 ms,
-    # runs/profile_b2048_{base,pallas}_r3.log); BENCH_TRAIN_PALLAS=0
-    # benches the plain XLA path.
-    train_pallas = os.environ.get("BENCH_TRAIN_PALLAS", "1") == "1"
-    if jax.devices()[0].platform not in ("tpu", "axon"):
-        # compiled (non-interpret) Pallas needs the TPU backend; CPU
-        # smoke runs bench the XLA pano path instead
-        train_pallas = False
-    if train_pallas != use_pallas:
-        # default trainer config is the XLA pano path; BENCH_TRAIN_PALLAS=1
-        # benches the fused custom-VJP kernel in the train step instead
-        # (needs view-padded tables; the XLA path needs unpadded).  Free
-        # the inference bank FIRST: two ~1.8 GB banks alongside batch-1408
-        # f32 training activations exceed HBM.
-        tables = run = None
-        if not skip_inference:
-            outs = nodes = score = None
-        tables_train = vecenv.make_env_tables(
-            bank, feats_bf16, pad_views=train_pallas
-        )
-    else:
-        tables_train = tables
 
     tx = adam_with_torch_wd(1e-4, 5e-4)
     opt_state = tx.init(params)
@@ -297,6 +217,7 @@ def main():
 
         return lax.scan(one_step, (p, o), jax.random.split(key, k_steps))
 
+    key = jax.random.PRNGKey(1)
     results = {}
     for train_batch_size in (100, BATCH):
         train_batch = {
@@ -343,10 +264,7 @@ def main():
             f"MFU {100 * mfu:.2f}% of {PEAK_FLOPS / 1e12:.0f} TF/s bf16 peak, "
             f"{bytes_per_scan * n_scans / dt / 1e9:.0f} GB/s HBM "
             f"({100 * bytes_per_scan * n_scans / dt / PEAK_HBM_BW:.0f}% of "
-            f"{PEAK_HBM_BW / 1e9:.0f} GB/s peak) "
-            f"(low MFU/HBM%% = latency-bound: 90 sequential h=512 LSTM "
-            f"cells/step; the Pallas kernels collapse launches, see "
-            f"docs/DESIGN.md roofline note)\n"
+            f"{PEAK_HBM_BW / 1e9:.0f} GB/s peak)\n"
         )
 
     train_eps = results[BATCH]
@@ -365,8 +283,66 @@ def main():
     )
     sys.stdout.flush()
 
-    # ------------- speaker train-step side metric (after the JSON so a
-    # failure here can't cost the headline; BENCH_SPEAKER=0 skips) -------
+    # free the train-step state before the side phases
+    p1 = o1 = compiled = lowered = stepk = outs = losses = None
+
+    # ------------- greedy-rollout side metric (the round-1 metric) -------
+    # Runs AFTER the JSON so a failure here can't cost the headline.
+    # Bounded by default: batch <= 1024 with the already-built padded
+    # tables keeps the remote Pallas compile in seconds (the round-2/3
+    # worker-killer was the batch-2048/4096 inference compile).
+    # BENCH_FULL_INFERENCE=1 opts into the full-BATCH sweep;
+    # BENCH_SKIP_INFERENCE=1 drops the phase.
+    if os.environ.get("BENCH_SKIP_INFERENCE", "0") != "1":
+        try:
+            full = os.environ.get("BENCH_FULL_INFERENCE", "0") == "1"
+            inf_batch_size = BATCH if full else min(BATCH, 1024)
+            inf_batch = {
+                k: v[:inf_batch_size] if v.ndim >= 1 else v
+                for k, v in batch.items()
+            }
+            run = jax.jit(
+                lambda p, t, b, k: (
+                    lambda o=rollout(
+                        p, t, b, k,
+                        feedback="argmax", episode_len=EPISODE_LEN,
+                        deterministic=True, use_pallas=train_pallas,
+                    ): (o.nodes, o.score)
+                )()
+            )
+            t0 = time.time()
+            nodes, score = run(params, tables_train, inf_batch, key)
+            np.asarray(nodes)  # block_until_ready returns early over the tunnel
+            sys.stderr.write(
+                f"[bench] rollout compile+first {time.time() - t0:.1f}s\n"
+            )
+            for _ in range(N_WARMUP - 1):
+                np.asarray(run(params, tables_train, inf_batch, key)[0])
+            # pipelined dispatch, then fetch EVERY result: the only honest
+            # timing through the tunnel (block_until_ready under-reports)
+            t0 = time.time()
+            outs = [
+                run(params, tables_train, inf_batch, jax.random.fold_in(key, i))
+                for i in range(N_ITERS)
+            ]
+            for nodes, score in outs:
+                np.asarray(nodes)
+                np.asarray(score)
+            dt = time.time() - t0
+            eps_per_sec = inf_batch_size * N_ITERS / dt
+            sys.stderr.write(
+                f"[bench] {N_ITERS} x {inf_batch_size} greedy episodes in "
+                f"{dt:.2f}s -> {eps_per_sec:.0f} eps/s INFERENCE (batch "
+                f"{inf_batch_size}{', pallas' if train_pallas else ''}; "
+                f"forward-only, not baseline-comparable)\n"
+            )
+            outs = nodes = score = run = None
+        except Exception as e:
+            sys.stderr.write(
+                f"[bench] inference phase failed: {type(e).__name__}: {e}\n"
+            )
+
+    # ------------- speaker train-step side metric (BENCH_SPEAKER=0 skips)
     if os.environ.get("BENCH_SPEAKER", "1") != "1":
         return
     try:
@@ -398,7 +374,10 @@ def main():
             return lax.scan(one, (p, o), jax.random.split(key, k_steps))
 
         if train_pallas:
-            # speaker gold_rollout uses the unpadded pano path
+            # speaker gold_rollout uses the unpadded pano path.  Free the
+            # padded bank FIRST: two ~1.8 GB banks alongside activations
+            # exceed HBM.
+            tables_train = None
             tables_s = vecenv.make_env_tables(bank, feats_bf16)
         else:
             tables_s = tables_train

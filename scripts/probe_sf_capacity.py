@@ -8,9 +8,11 @@ same setup as runs/probe_sf_repack.py, whose lane-round numbers the
 round-3 notes cite) and prints the per-lane peak dedup-table occupancy
 (`_SFState.peak_in_use`): mean / p50 / p90 / max, per beam size.
 
-The search is deterministic, so CPU measurements are exact:
+The occupancy counts are deterministic (same on CPU and TPU).  Pass
+--cpu to pin the host platform (the sitecustomize latches the axon
+backend regardless of JAX_PLATFORMS):
 
-    JAX_PLATFORMS=cpu python scripts/probe_sf_capacity.py [--n 128]
+    python scripts/probe_sf_capacity.py [--n 128] [--cpu]
 
 The measured numbers size the default capacity; see the capacity note in
 agents/state_factored_fused.state_factored_search_fused.
@@ -27,7 +29,13 @@ import numpy as np
 parser = argparse.ArgumentParser()
 parser.add_argument("--n", type=int, default=128, help="instructions to probe")
 parser.add_argument("--chunk", type=int, default=64)
+parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
 args = parser.parse_args()
+
+if args.cpu:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from speaker_follower_tpu.data.dataset import R2RDataset, encode_batch
 from speaker_follower_tpu.data.features import zero_feature_bank

@@ -541,6 +541,18 @@ def state_factored_search_fused(
     over 100 rounds (the reference loops uncapped; the cap only sizes
     the fixed selection-log buffer and the loop exits early when done).
 
+    ``table_capacity`` (default 1024) is sized from measurement: the
+    per-lane peak dedup-table occupancy over 128 sub_val_unseen
+    instructions at the production configs is beam 10: mean 130 / p90
+    211 / max 339, beam 40: mean 203 / p90 328 / max 415
+    (runs/probe_sf_capacity_r4.log, scripts/probe_sf_capacity.py —
+    deterministic, platform-independent), so 1024 carries ~2.5x headroom over
+    the observed beam-40 maximum.  If a run ever exceeds it, the
+    ``overflow`` flag warns (tested: tests/test_state_factored.py::
+    test_fused_overflow_and_truncation_warn) and every [fused_search]
+    stats line reports ``table peak ... /capacity`` so undersizing is
+    visible before it bites.
+
     ``max_device_batch``: bounds the per-dispatch instance count.  The
     round-2 layout (h/c carried per table entry) made XLA compile time
     blow up superlinearly on TPU v5e (10 s at B=16, 130 s at B=24,

@@ -151,26 +151,33 @@ def rollout(
 
     def step_fn(carry, t):
         state, h, c, u_prev, rng = carry
-        obs = vecenv.observe(tables, state, goal)
         rng, drop_key, sample_key = jax.random.split(rng, 3)
 
-        precomputed_visual = None
         if use_pallas:
-            # fused HBM gather + visual attention (ops/pano_attention.py):
-            # obs.pano_feature goes unused and its gather is DCE'd
+            # fully fused feature path (ops/pano_attention.py): ONE kernel
+            # DMAs each episode's 40xD feature block HBM->VMEM and emits
+            # the visual attention AND the <= MAX_DEGREE neighbor action
+            # features from the same block; the (B, 36, D) panorama and
+            # the (B, A, D+128) action embeddings never exist in HBM
+            # (observe_lite materializes only integer/angle planes, and
+            # the 128-d angle block folds into per-action scalars in
+            # eltwise_prod_scoring_split)
             from ..models.core import linear
-            from ..ops.pano_attention import pano_attention
+            from ..ops.pano_attention import pano_action_attention
 
+            obs = vecenv.observe_lite(tables, state, goal)
             p_v = params["decoder"]["visual_attention"]
             t_proj = linear(p_v["linear_in_h"], h)  # (B, dot)
             w_v = p_v["linear_in_v"]["w"]  # (dot, D + 128)
             d_feat = tables.features.shape[-1]
             gnode = tables.offsets[state.scan] + state.node
-            precomputed_visual = pano_attention(
+            nbr_view16 = jnp.pad(obs.nbr_view, ((0, 0), (0, 1)))
+            weighted, alpha_v_pre, af16 = pano_action_attention(
                 tables.features,
                 tables.loc_embed,
                 gnode,
                 obs.view_index,
+                nbr_view16,
                 t_proj @ w_v[:, :d_feat],
                 t_proj @ w_v[:, d_feat:],
                 t_proj @ p_v["linear_in_v"]["b"],
@@ -178,12 +185,25 @@ def rollout(
                        # repeating row 0, result sliced back to B)
                 pallas_interpret,
             )
+            precomputed_visual = (weighted, alpha_v_pre)
+            af = af16[:, : obs.nbr_view.shape[1]]
+            sin_h, cos_h = jnp.sin(obs.rel_heading), jnp.cos(obs.rel_heading)
+            sin_e, cos_e = jnp.sin(obs.rel_elevation), jnp.cos(obs.rel_elevation)
+            precomputed_action = (af, sin_h, cos_h, sin_e, cos_e)
+            action_embedding = None
+            pano_feature = None
+        else:
+            obs = vecenv.observe(tables, state, goal)
+            precomputed_visual = None
+            precomputed_action = None
+            action_embedding = obs.action_embedding
+            pano_feature = obs.pano_feature
 
         h1, c1, alpha, logit, alpha_v = fmodels.decoder_step(
             params["decoder"],
             u_prev,
-            obs.action_embedding,
-            obs.pano_feature,
+            action_embedding,
+            pano_feature,
             h,
             c,
             ctx,
@@ -192,6 +212,7 @@ def rollout(
             deterministic=deterministic,
             rng=drop_key,
             precomputed_visual=precomputed_visual,
+            precomputed_action=precomputed_action,
         )
         # softmax/CE always in f32 (bf16 has ~3 decimal digits; the loss
         # and sampling distribution must not quantize)
@@ -226,9 +247,26 @@ def rollout(
         a_score = jnp.take_along_axis(log_probs, a_t[:, None], axis=1)[:, 0]
 
         new_state = vecenv.step(tables, state, a_t)
-        u_next = jnp.take_along_axis(
-            obs.action_embedding, a_t[:, None, None], axis=1
-        )[:, 0].astype(u_prev.dtype)  # tables may be f32 under bf16 compute
+        if use_pallas:
+            # assemble ONLY the chosen action's embedding: its view feature
+            # row from the kernel's af output + the 128-d angle embedding
+            # (a_t == 0 is stop, whose embedding is zeros — env.py:60-66)
+            slot = jnp.clip(a_t - 1, 0, af.shape[1] - 1)
+            feat_sel = jnp.take_along_axis(af, slot[:, None, None], axis=1)[:, 0]
+            rh = jnp.take_along_axis(obs.rel_heading, slot[:, None], axis=1)[:, 0]
+            re = jnp.take_along_axis(obs.rel_elevation, slot[:, None], axis=1)[:, 0]
+            u_next = jnp.concatenate(
+                [
+                    feat_sel.astype(u_prev.dtype),
+                    vecenv._angle_embedding(rh, re).astype(u_prev.dtype),
+                ],
+                axis=-1,
+            )
+            u_next = jnp.where((a_t > 0)[:, None], u_next, 0.0)
+        else:
+            u_next = jnp.take_along_axis(
+                obs.action_embedding, a_t[:, None, None], axis=1
+            )[:, 0].astype(u_prev.dtype)  # tables may be f32 under bf16 compute
         u_next = jnp.where(live[:, None], u_next, u_prev)
 
         out = (

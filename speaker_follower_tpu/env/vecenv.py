@@ -230,6 +230,64 @@ def observe(tables: EnvTables, state: EnvState, goal) -> Observation:
     )
 
 
+class LiteObservation(NamedTuple):
+    """Observation without any feature materialization: the integer/angle
+    planes the fused Pallas decoder path needs (ops/pano_attention.
+    pano_action_attention gathers the feature rows itself from its
+    VMEM-resident block; models/attention.eltwise_prod_scoring_split folds
+    the 128-d angle embedding into per-action scalars)."""
+
+    nbr_view: jnp.ndarray  # (B, MAX_DEGREE) int32 permuted absViewIndex (-1 pad -> 0-clipped by the kernel)
+    rel_heading: jnp.ndarray  # (B, MAX_DEGREE) f32 canonical
+    rel_elevation: jnp.ndarray  # (B, MAX_DEGREE) f32
+    action_valid: jnp.ndarray  # (B, NUM_ACTIONS) bool
+    teacher: jnp.ndarray  # (B,) int32
+    view_index: jnp.ndarray  # (B,) int32
+
+
+def observe_lite(tables: EnvTables, state: EnvState, goal) -> LiteObservation:
+    """observe() minus the (B, 36, D) panorama and (B, A, D+128) action
+    embeddings: same action ordering / validity / teacher semantics
+    (property: assembling embeddings from LiteObservation + the bank
+    reproduces observe().action_embedding — tests/test_vecenv.py)."""
+    gnode = tables.offsets[state.scan] + state.node
+    view_index = state.heading + NUM_HEADINGS * state.elev
+
+    perm = jnp.take_along_axis(
+        tables.adj_perm[gnode], state.heading[:, None, None], axis=1
+    )[:, 0, :]  # (B, MAX_DEGREE)
+    perm_safe = jnp.maximum(perm, 0)
+    count = tables.adj_count[gnode]
+    slot_valid = jnp.arange(MAX_DEGREE)[None, :] < count[:, None]
+
+    nbr_next = jnp.take_along_axis(tables.adj_next[gnode], perm_safe, axis=1)
+    nbr_view = jnp.take_along_axis(tables.adj_view[gnode], perm_safe, axis=1)
+    nbr_bearing = jnp.take_along_axis(tables.adj_bearing[gnode], perm_safe, axis=1)
+    nbr_elev = jnp.take_along_axis(tables.adj_elevation[gnode], perm_safe, axis=1)
+
+    rel_heading = _canonical(
+        nbr_bearing - state.heading[:, None].astype(jnp.float32) * ANGLE_INC
+    )
+    action_valid = jnp.concatenate(
+        [jnp.ones_like(slot_valid[:, :1]), slot_valid], axis=1
+    )
+
+    goal = jnp.asarray(goal, jnp.int32)
+    nh = tables.next_hop[state.scan, state.node, goal]
+    match = (nbr_next == nh[:, None]) & slot_valid
+    teacher_move = 1 + jnp.argmax(match, axis=1).astype(jnp.int32)
+    teacher = jnp.where(state.node == goal, 0, teacher_move)
+
+    return LiteObservation(
+        nbr_view=nbr_view,
+        rel_heading=rel_heading,
+        rel_elevation=nbr_elev,
+        action_valid=action_valid,
+        teacher=teacher,
+        view_index=view_index,
+    )
+
+
 def step(tables: EnvTables, state: EnvState, action) -> EnvState:
     """Execute one batched action. action 0 = stop (-> done); action a >= 1
     moves to the a-th ordered neighbor and snaps the camera to its view."""

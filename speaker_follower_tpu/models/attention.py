@@ -130,6 +130,47 @@ def eltwise_prod_scoring_fast(p, h, all_u_t):
     return logits
 
 
+def eltwise_prod_scoring_split(p, h, af, sin_h, cos_h, sin_e, cos_e):
+    """EltwiseProdScoring over SPLIT action inputs — the fused-decoder
+    path's scoring: same reassociated math as eltwise_prod_scoring_fast,
+    but the action embedding u = [view_feature | 32x sin(rh), 32x cos(rh),
+    32x sin(re), 32x cos(re)] (env.py:60-75) is never materialized.  The
+    angle half contributes through 32-block sums (the 128-d block repeats
+    each trig value 32x, so u_ang . x == sin_h * sum(x[0:32]) + ...).
+
+    h: (B, H); af: (B, MD, D) neighbor view features (rows past the valid
+    count are garbage — mask logits downstream); sin_h/...: (B, MD) trig
+    of the per-action relative angles.  Returns (B, 1 + MD) logits with
+    slot 0 = stop (u = 0 -> logit = h . v1 + c).
+    """
+    w_h = p["linear_in_h"]["w"]  # (dot, H)
+    b_h = p["linear_in_h"]["b"]  # (dot,)
+    w_a = p["linear_in_a"]["w"]  # (dot, Da)
+    b_a = p["linear_in_a"]["b"]  # (dot,)
+    w_o = p["linear_out"]["w"][0]  # (dot,)
+    b_o = p["linear_out"]["b"][0]  # ()
+    d = af.shape[-1]
+
+    m = (w_h * w_o[:, None]).T @ w_a  # (H, Da)
+    v1 = w_h.T @ (w_o * b_a)  # (H,)
+    v2 = w_a.T @ (w_o * b_h)  # (Da,)
+    c = jnp.dot(b_h * w_o, b_a) + b_o
+
+    hm = h @ m[:, :d]  # (B, D)
+    hm_ang = (h @ m[:, d:]).reshape(h.shape[0], 4, 32).sum(-1)  # (B, 4)
+    v2_ang = v2[d:].reshape(4, 32).sum(-1)  # (4,)
+
+    nbr = jnp.einsum("bd,bad->ba", hm, af.astype(h.dtype))
+    nbr = nbr + jnp.einsum("bad,d->ba", af.astype(h.dtype), v2[:d])
+    trig = (sin_h, cos_h, sin_e, cos_e)
+    for j, t in enumerate(trig):
+        t = t.astype(h.dtype)
+        nbr = nbr + t * hm_ang[:, j][:, None] + t * v2_ang[j]
+    hv1c = (h @ v1)[:, None] + c
+    stop = jnp.broadcast_to(hv1c, (h.shape[0], 1))
+    return jnp.concatenate([stop, nbr + hv1c], axis=1)
+
+
 def feedforward_image_attention_init(key, context_size, hidden_size, image_feature_size=2048):
     """FeedforwardImageAttention (model.py:180-204).  The reference's 1x1
     Conv2d layers are plain channel-wise linears here (same math, MXU-

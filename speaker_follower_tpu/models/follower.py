@@ -149,6 +149,7 @@ def decoder_step(
     rng=None,
     fast: bool = True,
     precomputed_visual=None,
+    precomputed_action=None,
 ):
     """One decoder step (model.py:377-397).
 
@@ -160,6 +161,10 @@ def decoder_step(
     ``precomputed_visual``: optional (feature, alpha_v) from the Pallas
     fused pano-attention kernel — skips the in-graph visual attention
     (``visual_context`` may then be None).
+    ``precomputed_action``: optional (af, sin_h, cos_h, sin_e, cos_e) —
+    neighbor view features from the fused kernel plus per-action trig; the
+    scoring runs split (eltwise_prod_scoring_split) and ``all_u_t`` may be
+    None (the (B, A, D+128) embedding tensor is never materialized).
     """
     if precomputed_visual is not None:
         feature, alpha_v = precomputed_visual
@@ -181,8 +186,14 @@ def decoder_step(
     h_tilde, alpha = attn.soft_dot_attention(
         p["text_attention"], h_1_drop, ctx, ctx_mask
     )
-    scoring = attn.eltwise_prod_scoring_fast if fast else attn.eltwise_prod_scoring
-    logit = scoring(p["decoder2action"], h_tilde, all_u_t.astype(h_0.dtype))
+    if precomputed_action is not None:
+        af, sin_h, cos_h, sin_e, cos_e = precomputed_action
+        logit = attn.eltwise_prod_scoring_split(
+            p["decoder2action"], h_tilde, af, sin_h, cos_h, sin_e, cos_e
+        )
+    else:
+        scoring = attn.eltwise_prod_scoring_fast if fast else attn.eltwise_prod_scoring
+        logit = scoring(p["decoder2action"], h_tilde, all_u_t.astype(h_0.dtype))
     return h_1, c_1, alpha, logit, alpha_v
 
 

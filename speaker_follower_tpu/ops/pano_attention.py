@@ -374,6 +374,228 @@ def _pa_bwd_xla(block_b, interpret, res, grads):
     return (None, None, None, None, g_v_feat, g_v_loc, g_bias)
 
 
+# --------------------------------------------------------------------------
+# Extended kernel: pano attention + action-feature gather in one DMA pass.
+#
+# The rollout's other per-step consumer of the feature bank is the action
+# embedding: the <= MAX_DEGREE neighbor view rows of the SAME node block the
+# attention just DMA'd (env/vecenv.observe gathers them again from HBM as
+# (B, MD, D), then materializes (B, A, D+128) embeddings that the scoring
+# einsums re-read).  Here the neighbor rows are copied out of the
+# VMEM-resident block instead — the HBM cost of the action path drops to
+# one aligned (B, 16, D) write, and the 128-d angle block never
+# materializes at all (models/attention.eltwise_prod_scoring_split folds
+# it into per-action scalars).
+#
+# Reference semantics: tasks/R2R/env.py:60-75 (_build_action_embedding view
+# feature half) + model.py:329-352 (EltwiseProdScoring over those rows).
+
+AF_ROWS = 16  # MAX_DEGREE=15 padded to the Mosaic sublane multiple
+
+
+def _action_kernel(
+    # scalar prefetch
+    gnode_ref,  # (B,) int32
+    view_ref,  # (B,) int32
+    nbr_ref,  # (B, AF_ROWS) int32 — permuted neighbor absViewIndex, pads 0
+    # inputs
+    features_hbm,  # (T, 40, D) in ANY/HBM
+    loc_table_ref,  # (36, 36, 128) VMEM
+    v_feat_ref,  # (BB, D) VMEM
+    v_loc_ref,  # (BB, 128) VMEM
+    bias_ref,  # (BB, 1) VMEM
+    # outputs
+    weighted_ref,  # (BB, D + 128) VMEM
+    attn_ref,  # (BB, 36) VMEM
+    af_ref,  # (BB, AF_ROWS, D) VMEM — gathered neighbor view features
+    # scratch
+    feat_scratch,  # (BB, 40, D) VMEM
+    loc_scratch,  # (BB, 36, 128) VMEM
+    sem,  # DMA semaphores (BB,)
+    *,
+    block_b: int,
+):
+    b0 = pl.program_id(0) * block_b
+    d = v_feat_ref.shape[-1]
+
+    for i in range(block_b):
+        pltpu.make_async_copy(
+            features_hbm.at[gnode_ref[b0 + i]], feat_scratch.at[i], sem.at[i]
+        ).start()
+    for i in range(block_b):
+        loc_scratch[i] = loc_table_ref[view_ref[b0 + i]]
+    for i in range(block_b):
+        pltpu.make_async_copy(
+            features_hbm.at[gnode_ref[b0 + i]], feat_scratch.at[i], sem.at[i]
+        ).wait()
+
+    feat = feat_scratch[:, :NUM_VIEWS, :].astype(jnp.float32)  # (BB, 36, D)
+    loc = loc_scratch[...].astype(jnp.float32)  # (BB, 36, 128)
+
+    logits = (
+        (feat * v_feat_ref[...][:, None, :]).sum(axis=-1)
+        + (loc * v_loc_ref[...][:, None, :]).sum(axis=-1)
+        + bias_ref[...]
+    )  # (BB, 36)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn_ref[...] = attn
+
+    weighted_ref[:, :d] = (feat * attn[:, :, None]).sum(axis=1)
+    weighted_ref[:, d:] = (loc * attn[:, :, None]).sum(axis=1)
+
+    # action-feature gather from the VMEM-resident block: row k of element
+    # i is the neighbor's view feature (static loop — 16*BB dynamic
+    # sublane loads from scratch, zero extra HBM traffic)
+    for i in range(block_b):
+        for k in range(AF_ROWS):
+            af_ref[i, k, :] = feat_scratch[i, nbr_ref[b0 + i, k], :]
+
+
+@partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_pano_action_attention(
+    features,  # (T, 40, D) view-padded feature bank
+    loc_table,  # (36, 36, 128)
+    gnode,  # (B,) int32
+    view_index,  # (B,) int32
+    nbr_view,  # (B, AF_ROWS) int32 — permuted neighbor absViewIndex (pads
+    #   may be any value in [0, 40); callers clip -1 pads to 0)
+    v_feat,  # (B, D)
+    v_loc,  # (B, 128)
+    bias,  # (B,)
+    *,
+    block_b: int | None = None,
+    interpret: bool = False,
+):
+    """Returns (weighted (B, D+128) f32, attn (B, 36) f32,
+    af (B, AF_ROWS, D) features.dtype)."""
+    b = gnode.shape[0]
+    d = features.shape[-1]
+    if block_b is None:
+        block_b = 8
+    pad = (-b) % block_b
+    if pad:
+        padb = lambda x: jnp.concatenate(  # noqa: E731
+            [x, jnp.repeat(x[:1], pad, axis=0)], axis=0
+        )
+        w, a, af = fused_pano_action_attention(
+            features, loc_table, padb(gnode), padb(view_index),
+            padb(nbr_view), padb(v_feat), padb(v_loc), padb(bias),
+            block_b=block_b, interpret=interpret,
+        )
+        return w[:b], a[:b], af[:b]
+    assert b % block_b == 0
+    assert features.shape[1] == PADDED_VIEWS, (
+        "pass a view-padded bank (pad_views_for_pallas)"
+    )
+    assert nbr_view.shape == (b, AF_ROWS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b // block_b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # features stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # loc table
+            pl.BlockSpec((block_b, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, LOC_EMBED_DIM), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((block_b, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_b, d + LOC_EMBED_DIM),
+                lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_b, NUM_VIEWS), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_b, AF_ROWS, d), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_b, PADDED_VIEWS, d), features.dtype),
+            pltpu.VMEM((block_b, NUM_VIEWS, LOC_EMBED_DIM), loc_table.dtype),
+            pltpu.SemaphoreType.DMA((block_b,)),
+        ],
+    )
+    weighted, attn, af = pl.pallas_call(
+        partial(_action_kernel, block_b=block_b),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d + LOC_EMBED_DIM), jnp.float32),
+            jax.ShapeDtypeStruct((b, NUM_VIEWS), jnp.float32),
+            jax.ShapeDtypeStruct((b, AF_ROWS, d), features.dtype),
+        ],
+        interpret=interpret,
+    )(
+        gnode.astype(jnp.int32),
+        view_index.astype(jnp.int32),
+        jnp.clip(nbr_view.astype(jnp.int32), 0, PADDED_VIEWS - 1),
+        features,
+        loc_table,
+        v_feat.astype(jnp.float32),
+        v_loc.astype(jnp.float32),
+        bias.astype(jnp.float32)[:, None],
+    )
+    return weighted, attn, af
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def pano_action_attention(
+    features, loc_table, gnode, view_index, nbr_view, v_feat, v_loc, bias,
+    block_b=None, interpret=False,
+):
+    """Differentiable wrapper around fused_pano_action_attention.
+
+    Gradients flow to (v_feat, v_loc, bias) exactly as in pano_attention;
+    ``af`` is environment data gathered from the (grad-free) feature bank,
+    so its cotangent is dropped and the backward kernel is SHARED with
+    pano_attention (_fused_pano_attention_bwd)."""
+    return fused_pano_action_attention(
+        features, loc_table, gnode, view_index, nbr_view, v_feat, v_loc,
+        bias, block_b=block_b, interpret=interpret,
+    )
+
+
+def _paa_fwd(features, loc_table, gnode, view_index, nbr_view, v_feat,
+             v_loc, bias, block_b, interpret):
+    out = pano_action_attention(
+        features, loc_table, gnode, view_index, nbr_view, v_feat, v_loc,
+        bias, block_b, interpret,
+    )
+    return out, (features, loc_table, gnode, view_index, out[1])
+
+
+def _paa_bwd(block_b, interpret, res, grads):
+    features, loc_table, gnode, view_index, attn = res
+    g_w, g_a, _g_af = grads  # af: bank data, no grads
+    g_v_feat, g_v_loc, g_bias = _fused_pano_attention_bwd(
+        features, loc_table, gnode, view_index, attn, g_w, g_a,
+        block_b=block_b, interpret=interpret,
+    )
+    return (None, None, None, None, None, g_v_feat, g_v_loc, g_bias[:, 0])
+
+
+pano_action_attention.defvjp(_paa_fwd, _paa_bwd)
+
+
+def pano_action_attention_reference(
+    features, loc_table, gnode, view_index, nbr_view, v_feat, v_loc, bias
+):
+    """Pure-XLA reference for the extended kernel."""
+    w, a = pano_attention_reference(
+        features, loc_table, gnode, view_index, v_feat, v_loc, bias
+    )
+    nv = jnp.clip(nbr_view, 0, features.shape[1] - 1)
+    af = features[gnode[:, None], nv]  # (B, AF_ROWS, D)
+    return w, a, af
+
+
 def pano_attention_reference(
     features, loc_table, gnode, view_index, v_feat, v_loc, bias
 ):

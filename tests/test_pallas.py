@@ -67,6 +67,129 @@ def test_fused_pads_unaligned_batch():
     np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref), atol=1e-6)
 
 
+def test_fused_action_kernel_matches_reference():
+    """Extended kernel (pano attention + action-feature gather in one DMA
+    pass) vs the XLA reference: attention identical to the base kernel,
+    af rows == direct bank gathers."""
+    from speaker_follower_tpu.ops.pano_attention import (
+        AF_ROWS,
+        fused_pano_action_attention,
+        pano_action_attention_reference,
+    )
+
+    rng = np.random.RandomState(1)
+    t, d, b = 40, 128, 11  # 11: exercises the pad-to-block path too
+    features = pad_views_for_pallas(
+        jnp.asarray(rng.randn(t, 36, d).astype(np.float32), jnp.bfloat16)
+    )
+    loc_table = jnp.asarray(rng.randn(36, 36, 128).astype(np.float32))
+    gnode = jnp.asarray(rng.randint(t, size=b).astype(np.int32))
+    view_index = jnp.asarray(rng.randint(36, size=b).astype(np.int32))
+    # -1 pads must be tolerated (clipped to row 0 inside)
+    nbr_view = rng.randint(36, size=(b, AF_ROWS)).astype(np.int32)
+    nbr_view[:, -3:] = -1
+    nbr_view = jnp.asarray(nbr_view)
+    v_feat = jnp.asarray(rng.randn(b, d).astype(np.float32) * 0.1)
+    v_loc = jnp.asarray(rng.randn(b, 128).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(b).astype(np.float32))
+
+    w_k, a_k, af_k = fused_pano_action_attention(
+        features, loc_table, gnode, view_index, nbr_view, v_feat, v_loc,
+        bias, block_b=8, interpret=True,
+    )
+    w_r, a_r, af_r = pano_action_attention_reference(
+        features, loc_table, gnode, view_index,
+        jnp.maximum(nbr_view, 0), v_feat, v_loc, bias,
+    )
+    assert af_k.shape == (b, AF_ROWS, d) and af_k.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(af_k, np.float32), np.asarray(af_r, np.float32)
+    )
+
+
+def test_scoring_split_matches_fast():
+    """eltwise_prod_scoring_split over (af, trig) == eltwise_prod_scoring
+    over the materialized [feat | 32x4 angle blocks] embeddings, with the
+    stop row (zeros) at slot 0."""
+    from speaker_follower_tpu.models import attention as attn
+
+    rng = np.random.RandomState(2)
+    b, md, d, h_dim = 6, 15, 64, 32
+    p = attn.eltwise_prod_scoring_init(jax.random.PRNGKey(0), h_dim, d + 128)
+    h = jnp.asarray(rng.randn(b, h_dim).astype(np.float32))
+    af = jnp.asarray(rng.randn(b, md, d).astype(np.float32))
+    rel_h = jnp.asarray(rng.uniform(-np.pi, np.pi, (b, md)).astype(np.float32))
+    rel_e = jnp.asarray(rng.uniform(-0.6, 0.6, (b, md)).astype(np.float32))
+
+    split = attn.eltwise_prod_scoring_split(
+        p, h, af, jnp.sin(rel_h), jnp.cos(rel_h), jnp.sin(rel_e), jnp.cos(rel_e)
+    )
+
+    ang = jnp.concatenate(
+        [
+            jnp.repeat(jnp.sin(rel_h)[..., None], 32, -1),
+            jnp.repeat(jnp.cos(rel_h)[..., None], 32, -1),
+            jnp.repeat(jnp.sin(rel_e)[..., None], 32, -1),
+            jnp.repeat(jnp.cos(rel_e)[..., None], 32, -1),
+        ],
+        axis=-1,
+    )
+    u = jnp.concatenate([af, ang], axis=-1)  # (B, MD, D+128)
+    u = jnp.concatenate([jnp.zeros_like(u[:, :1]), u], axis=1)  # stop slot
+    ref = attn.eltwise_prod_scoring(p, h, u)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_train_grads_match_xla():
+    """value_and_grad of the teacher-feedback rollout loss through the
+    fully fused path (pano+action kernel, split scoring, kernel-fed
+    u_next) vs the pure-XLA rollout: same loss, same parameter grads."""
+    from speaker_follower_tpu.agents import rollout as ra
+    from speaker_follower_tpu.data.dataset import R2RDataset, encode_batch
+    from speaker_follower_tpu.data.features import random_feature_bank
+    from speaker_follower_tpu.data.graph import load_graph_bank
+    from speaker_follower_tpu.data.text import Tokenizer, read_vocab
+    from speaker_follower_tpu.env import vecenv
+    from speaker_follower_tpu.models.follower import init_follower
+
+    vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+    ds = R2RDataset(["sub_val_seen"], tokenizer=Tokenizer(vocab=vocab),
+                    batch_size=6, seed=4)
+    keep = sorted(ds.scans)[:2]
+    ds.data = [d for d in ds.data if d["scan"] in keep]
+    bank = load_graph_bank(keep, "/root/reference/connectivity")
+    feats = random_feature_bank(bank, dim=64, seed=0)
+    tables_x = vecenv.make_env_tables(bank, feats)
+    tables_p = vecenv.make_env_tables(bank, feats, pad_views=True)
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=64 + 128, feature_size=64 + 128,
+    )
+    enc = encode_batch(ds.next_minibatch(), bank, max_instruction_length=40)
+    db = {k: jnp.asarray(enc[k]) for k in
+          ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask", "seq_length"]}
+
+    def loss(p, tbl, pallas):
+        return ra.rollout(
+            p, tbl, db, jax.random.PRNGKey(7), feedback="teacher",
+            episode_len=10, use_glove=False,
+            use_pallas=pallas, pallas_interpret=pallas,
+        ).loss
+
+    l_x, g_x = jax.value_and_grad(loss)(params, tables_x, False)
+    l_p, g_p = jax.value_and_grad(loss)(params, tables_p, True)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-5)
+    flat_x = jax.tree.leaves(g_x)
+    flat_p = jax.tree.leaves(g_p)
+    for a, b_ in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-3, atol=1e-5
+        )
+
+
 def test_pallas_rollout_matches_xla_rollout():
     """Full argmax rollout with the fused kernel == the pure-XLA rollout
     (same trajectories, scores to float tolerance)."""

@@ -207,3 +207,54 @@ def test_done_freezes_state(bank, tables):
     frozen = step(state, jnp.array([1, 0]))
     assert int(frozen.node[0]) == int(state.node[0])
     assert bool(frozen.done[1])
+
+
+def test_observe_lite_reassembles_observe(bank, features, tables):
+    """LiteObservation (integer/angle planes only) + the feature bank must
+    reassemble observe()'s action embeddings, validity, and teacher exactly
+    — the contract the fused Pallas decoder path builds on."""
+    rng = np.random.RandomState(7)
+    b = 16
+    scan = rng.randint(len(SCANS), size=b).astype(np.int32)
+    node = np.zeros(b, np.int32)
+    goal = np.zeros(b, np.int32)
+    for i in range(b):
+        g = bank.graphs[bank.scan_ids[scan[i]]]
+        inc = np.nonzero(g.included & (g.adj_count > 0))[0]
+        node[i], goal[i] = inc[rng.randint(len(inc), size=2)]
+    state = vecenv.reset(scan, node, rng.randint(12, size=b).astype(np.int32))
+
+    for _ in range(3):
+        obs = vecenv.observe(tables, state, goal)
+        lite = vecenv.observe_lite(tables, state, goal)
+        np.testing.assert_array_equal(
+            np.asarray(lite.action_valid), np.asarray(obs.action_valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lite.teacher), np.asarray(obs.teacher)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lite.view_index), np.asarray(obs.view_index)
+        )
+        # reassemble: [bank row | 32x4 angle blocks], zero invalid, stop=0
+        gnode = np.asarray(tables.offsets)[scan] + np.asarray(state.node)
+        feat = np.asarray(tables.features)[
+            gnode[:, None], np.maximum(np.asarray(lite.nbr_view), 0)
+        ]
+        ang = np.concatenate(
+            [
+                np.repeat(np.sin(np.asarray(lite.rel_heading))[..., None], 32, -1),
+                np.repeat(np.cos(np.asarray(lite.rel_heading))[..., None], 32, -1),
+                np.repeat(np.sin(np.asarray(lite.rel_elevation))[..., None], 32, -1),
+                np.repeat(np.cos(np.asarray(lite.rel_elevation))[..., None], 32, -1),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        u = np.concatenate([feat, ang], axis=-1)
+        slot_valid = np.asarray(lite.action_valid)[:, 1:]
+        u = np.where(slot_valid[..., None], u, 0.0)
+        u = np.concatenate([np.zeros_like(u[:, :1]), u], axis=1)
+        np.testing.assert_allclose(
+            u, np.asarray(obs.action_embedding), atol=1e-6
+        )
+        state = vecenv.step(tables, state, obs.teacher)

@@ -229,8 +229,27 @@ def main():
         timeit("env scan (no pano features) x10", jax.jit(env_scan_nofeat),
                tables, batch)
     except TypeError:
-        print("env scan (no pano features): observe() has no "
+        print("env scan (no pano features) x10: observe() has no "
               "with_features flag — skipped")
+
+    # ---- lite env scan (the fused decoder path's env cost: integer and
+    # angle planes only, zero feature materialization)
+    def env_scan_lite(t, b):
+        state = vecenv.reset(b["scan"], b["start_node"], b["heading"])
+        goal = b["goal_node"]
+
+        def step_fn(state, _):
+            obs = vecenv.observe_lite(t, state, goal)
+            state = vecenv.step(t, state, obs.teacher)
+            return state, (obs.teacher, obs.rel_heading.sum())
+
+        state, (acts, s) = jax.lax.scan(
+            step_fn, state, jnp.arange(EPISODE_LEN)
+        )
+        return state.node.sum(), acts.sum(), s.sum()
+
+    timeit("env scan lite (observe_lite+step) x10", jax.jit(env_scan_lite),
+           tables, batch)
 
 
 def speaker_main(args):

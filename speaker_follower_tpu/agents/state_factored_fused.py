@@ -528,6 +528,7 @@ def state_factored_search_fused(
     use_glove: bool = True,
     max_device_batch: int | None = 64,
     first_pass_rounds: int | str | None = 0,
+    mesh=None,
 ):
     """Drop-in for state_factored.state_factored_search, one device call.
 
@@ -589,10 +590,43 @@ def state_factored_search_fused(
     for exec-bound backends (e.g. CPU, where per-round cost dominates)
     or heavily truncation-bound configs where chunk-max rounds >>
     lane-median.
+
+    ``mesh``: a jax.sharding.Mesh with a "data" axis — every dispatch's
+    per-lane arrays are placed sharded over it, so the search runs
+    data-parallel across chips (lanes are independent; the only global
+    reductions — the while cond and ``prev_cont`` — psum over the mesh,
+    placed by GSPMD).  The caller should pass params/tables replicated
+    on the same mesh (parallel.mesh.replicate); sharded-vs-single parity
+    is tested on the 8-device virtual mesh (tests/test_state_factored.py
+    ::test_fused_search_data_parallel_mesh).  Batches indivisible by the
+    mesh size are padded (repeating lane 0) and sliced back.
     """
     if max_rounds is None:
         max_rounds = max(100, 8 * completion_size)
     b_total = len(np.asarray(batch["scan"]))
+    if mesh is not None:
+        n_mesh = int(mesh.devices.size)
+        if max_device_batch is not None:
+            assert max_device_batch % n_mesh == 0, (
+                f"max_device_batch={max_device_batch} must divide over the "
+                f"{n_mesh}-device mesh"
+            )
+        if b_total % n_mesh and (
+            max_device_batch is None or b_total <= max_device_batch
+        ):
+            # pad the single dispatch up to the mesh size (repeating lane
+            # 0; lanes are independent, padded results dropped)
+            idx = list(range(b_total)) + [0] * ((-b_total) % n_mesh)
+            c, comp, trav = state_factored_search_fused(
+                params, tables, _index_batch(batch, idx), graph_bank,
+                completion_size=completion_size,
+                successor_size=successor_size, episode_len=episode_len,
+                first_n_ws_key=first_n_ws_key, max_rounds=max_rounds,
+                table_capacity=table_capacity, use_glove=use_glove,
+                max_device_batch=max_device_batch,
+                first_pass_rounds=first_pass_rounds, mesh=mesh,
+            )
+            return c[:b_total], comp[:b_total], trav[:b_total]
     if max_device_batch is not None and b_total > max_device_batch:
         r1 = _resolve_first_pass(
             first_pass_rounds, completion_size, episode_len, max_rounds
@@ -627,7 +661,7 @@ def state_factored_search_fused(
                     episode_len=episode_len, first_n_ws_key=first_n_ws_key,
                     max_rounds=r1, table_capacity=table_capacity,
                     use_glove=use_glove,
-                    warn_truncation=(r1 >= max_rounds),
+                    warn_truncation=(r1 >= max_rounds), mesh=mesh,
                 )
             )
             for j in range(c1 - c0):
@@ -663,7 +697,7 @@ def state_factored_search_fused(
                 episode_len=episode_len, first_n_ws_key=first_n_ws_key,
                 max_rounds=max_rounds, table_capacity=table_capacity,
                 use_glove=use_glove, max_device_batch=max_device_batch,
-                first_pass_rounds=0,
+                first_pass_rounds=0, mesh=mesh,
             )
             for j, gi in enumerate(rerun_idx):
                 all_c[gi] = sc[j]
@@ -676,7 +710,7 @@ def state_factored_search_fused(
         completion_size=completion_size, successor_size=successor_size,
         episode_len=episode_len, first_n_ws_key=first_n_ws_key,
         max_rounds=max_rounds, table_capacity=table_capacity,
-        use_glove=use_glove,
+        use_glove=use_glove, mesh=mesh,
     )
     return cands, comps, travs
 
@@ -714,6 +748,7 @@ def _run_single(
     table_capacity: int,
     use_glove: bool,
     warn_truncation: bool = True,
+    mesh=None,
 ):
     """One device dispatch + host result assembly for one (padded) chunk.
 
@@ -721,14 +756,27 @@ def _run_single(
     comp_counts, rounds_used, peak_in_use); lane_rounds/comp_counts/
     rounds_used drive straggler repacking, peak_in_use is the measured
     per-lane dedup-table occupancy maximum (sizes table_capacity).
+
+    ``mesh``: place the per-lane inputs sharded over the mesh's "data"
+    axis so the dispatch runs data-parallel (GSPMD propagates the
+    shardings through the while_loop; see state_factored_search_fused).
     """
+    if mesh is None:
+        place = jnp.asarray
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        _sh = NamedSharding(mesh, _P(DATA_AXIS))
+        place = lambda x: jax.device_put(np.asarray(x), _sh)  # noqa: E731
     _t0 = time.perf_counter()
     st = _search_program(
         params, tables,
-        jnp.asarray(batch["seq"]), jnp.asarray(batch["seq_length"]),
-        jnp.asarray(batch["seq_mask"]),
-        jnp.asarray(batch["scan"]), jnp.asarray(batch["start_node"]),
-        jnp.asarray(batch["heading"]),
+        place(batch["seq"]), place(batch["seq_length"]),
+        place(batch["seq_mask"]),
+        place(batch["scan"]), place(batch["start_node"]),
+        place(batch["heading"]),
         completion_size=completion_size, successor_size=successor_size,
         episode_len=episode_len, first_n_ws_key=first_n_ws_key,
         max_rounds=max_rounds, table_capacity=table_capacity,

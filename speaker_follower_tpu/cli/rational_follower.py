@@ -57,6 +57,12 @@ def make_arg_parser():
         "inference.rational_follower._resolve_score_chunk)",
     )
     parser.add_argument("--physical_traversal", action="store_true")
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard every search/scoring dispatch over a data mesh of all "
+        "visible devices (requires --fused_search); params/tables are "
+        "replicated, per-instance arrays split over the mesh",
+    )
     parser.add_argument("--output_file")
     parser.add_argument("--eval_file")
     parser.add_argument(
@@ -77,6 +83,11 @@ def validate_entry_point(args):
     follower_params = ckpt.load_params(args.follower_prefix)
     speaker_params = ckpt.load_params(args.speaker_prefix)
     use_glove = not args.use_train_subset
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import mesh as pm
+
+        mesh = pm.make_mesh()
 
     from ..evaluation.follower_eval import Evaluation
 
@@ -105,6 +116,7 @@ def validate_entry_point(args):
             state_first_n_ws_key=args.state_first_n_ws_key,
             physical_traversal=args.physical_traversal,
             use_glove=use_glove,
+            mesh=mesh,
             output_file=output_file,
             eval_file=eval_file,
             speaker_score_batch=(

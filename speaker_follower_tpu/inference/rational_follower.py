@@ -76,10 +76,17 @@ def speaker_score_candidates(
     episode_len: int = EPISODE_LEN,
     use_glove: bool = True,
     max_device_batch: int | None | str = "auto",
+    mesh=None,
     _forced_unroll: int | None = None,
 ):
     """Teacher-forced speaker log-likelihood of each candidate's own
     instruction given its trajectory (rational_follower.py:67-69).
+
+    ``mesh``: place each dispatch's candidate arrays sharded over the
+    mesh's "data" axis (replay + scoring run data-parallel; candidates
+    are independent, so sharded == single-device — tested on the virtual
+    8-device mesh).  Pass speaker params/tables replicated on the same
+    mesh.
 
     ``max_device_batch``: dispatch the replay+scoring programs in
     fixed-shape chunks of this many candidates (compiled once, reused).
@@ -126,11 +133,17 @@ def speaker_score_candidates(
                 max_instruction_length=max_instruction_length,
                 episode_len=episode_len, use_glove=use_glove,
                 max_device_batch=None,  # chunk IS the requested dispatch
-                _forced_unroll=unroll,
+                mesh=mesh, _forced_unroll=unroll,
             )
             out.extend(scores[: len(chunk)])
         return np.asarray(out)
-    cap = _pad_pow2(m)
+    if mesh is None:
+        cap = _pad_pow2(m)
+    else:
+        # cap must split over the mesh: doubling preserves divisibility,
+        # so a divisible starting point suffices
+        n_mesh = int(mesh.devices.size)
+        cap = _pad_pow2(m, lo=8 if 8 % n_mesh == 0 else n_mesh)
     scan = np.zeros(cap, np.int32)
     start = np.zeros(cap, np.int32)
     heading = np.zeros(cap, np.int32)
@@ -147,16 +160,26 @@ def speaker_score_candidates(
         encodings.append(cand["instr_encoding"])
     encodings += [np.zeros((0,), np.int32)] * (cap - m)
 
+    if mesh is None:
+        place = jnp.asarray
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        _sh = NamedSharding(mesh, _P(DATA_AXIS))
+        place = lambda x: jax.device_put(np.asarray(x), _sh)  # noqa: E731
     batch = {
-        "scan": jnp.asarray(scan),
-        "start_node": jnp.asarray(start),
-        "heading": jnp.asarray(heading),
-        "forced_actions": jnp.asarray(actions),
-        "forced_len": jnp.asarray(lens),
+        "scan": place(scan),
+        "start_node": place(start),
+        "heading": place(heading),
+        "forced_actions": place(actions),
+        "forced_len": place(lens),
     }
     seq, _, _ = batch_instructions(
         encodings, max_instruction_length, reverse=False
     )
+    seq = place(seq)
     from ..agents.state_factored import _retry_transient
 
     unroll = _forced_unroll if _forced_unroll is not None else (
@@ -167,7 +190,7 @@ def speaker_score_candidates(
         t0 = time.perf_counter()
         gold = sa.forced_rollout(tables, batch, episode_len=episode_len)
         out = sa.score_instructions(
-            speaker_params, gold, jnp.asarray(seq), jax.random.PRNGKey(0),
+            speaker_params, gold, seq, jax.random.PRNGKey(0),
             feedback="teacher", instruction_len=max_instruction_length,
             unroll_len=max(unroll, 1), deterministic=True, use_glove=use_glove,
         )
@@ -198,6 +221,7 @@ def generate_candidates(
     fused: bool = False,
     fused_chunk: int | None = None,
     fused_first_pass: int | str | None = None,
+    mesh=None,
 ):
     """Per-instance candidate lists (+ traversal lists for state-factored).
 
@@ -231,7 +255,7 @@ def generate_candidates(
                 follower_params, tables, enc, graph_bank,
                 completion_size=beam_size, successor_size=1,
                 episode_len=episode_len, first_n_ws_key=state_first_n_ws_key,
-                use_glove=use_glove, **chunk_kw,
+                use_glove=use_glove, mesh=mesh, **chunk_kw,
             ))
         candidates, completed, traversed = sf.state_factored_search(
             follower_params, tables, enc, graph_bank,
@@ -269,15 +293,35 @@ def run_rational_follower(
     output_file=None,
     eval_file=None,
     speaker_score_batch: int | None | str = "auto",
+    mesh=None,
 ):
     """Returns accuracies_by_weight, index_counts_by_weight
     (rational_follower.py:11-195).
 
     ``speaker_score_batch``: chunk the speaker replay+scoring dispatches
     (see speaker_score_candidates; needed on many-scan worlds where the
-    axon backend faults on large replay batches)."""
+    axon backend faults on large replay batches).
+
+    ``mesh``: run the whole pipeline data-parallel over a
+    jax.sharding.Mesh with a "data" axis — params and env tables are
+    replicated here, and every search/scoring dispatch's per-instance
+    arrays shard over the mesh (requires ``fused_search``: the
+    host-orchestrated search loop has per-round host logic that a mesh
+    cannot help).  On a v5e-8 the per-dispatch search/scoring device
+    time divides ~8x; the host-side traversal replay is unchanged."""
     if physical_traversal and not state_factored_search:
         raise ValueError("physical_traversal requires state_factored_search")
+    if mesh is not None:
+        if state_factored_search and not fused_search:
+            raise ValueError("mesh requires --fused_search (the host-"
+                             "orchestrated search does not shard)")
+        from ..parallel import mesh as pm
+
+        follower_params = pm.replicate(mesh, follower_params)
+        speaker_params = pm.replicate(mesh, speaker_params)
+        tables = type(tables)(
+            *[jax.device_put(x, pm.replicated(mesh)) for x in tables]
+        )
     dataset.reset_epoch()
     candidate_lists_by_instr_id = {}
     looped = False
@@ -299,6 +343,7 @@ def run_rational_follower(
             fused=fused_search, fused_chunk=fused_search_chunk,
             fused_first_pass=fused_first_pass,
             state_first_n_ws_key=state_first_n_ws_key, use_glove=use_glove,
+            mesh=mesh,
         )
         _t1 = time.perf_counter()
         # annotate candidates with replay coordinates for speaker scoring
@@ -312,7 +357,7 @@ def run_rational_follower(
         speaker_scores = speaker_score_candidates(
             speaker_params, tables, flat,
             max_instruction_length=max_instruction_length, use_glove=use_glove,
-            max_device_batch=speaker_score_batch,
+            max_device_batch=speaker_score_batch, mesh=mesh,
         )
         for cand, s in zip(flat, speaker_scores):
             cand["follower_score"] = cand["score"]

@@ -394,3 +394,63 @@ def test_fused_chunked_dispatch_matches_unchunked(world):
     for wt, ct in zip(whole[2], chunked[2]):
         assert [(h.node, h.heading, h.elev) for h in wt] == \
             [(h.node, h.heading, h.elev) for h in ct]
+
+
+@pytest.mark.slow
+def test_speaker_rescoring_data_parallel_mesh(world):
+    """speaker_score_candidates under the 8-device virtual data mesh must
+    reproduce single-device scores exactly (candidates are independent;
+    the mesh shards the replay+scoring batch axis) — with the fused
+    search's mesh path, this is the full multi-chip pragmatic-inference
+    story (VERDICT r3 item 2)."""
+    from speaker_follower_tpu.agents import state_factored_fused as sff
+    from speaker_follower_tpu.inference.rational_follower import (
+        speaker_score_candidates,
+    )
+    from speaker_follower_tpu.models.speaker import init_speaker
+    from speaker_follower_tpu.parallel import mesh as pm
+
+    bank, tables, params, enc = world
+    cands, _, _ = sff.state_factored_search_fused(
+        params, tables, enc, bank,
+        completion_size=4, successor_size=2, episode_len=10,
+    )
+    s_params = init_speaker(
+        jax.random.PRNGKey(1), vocab_size=992, word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT + 128,
+        feature_size=FEAT + 128,
+    )
+    flat = []
+    for i, cl in enumerate(cands):
+        for cand in cl:
+            cand["_scan_ix"] = int(enc["scan"][i])
+            cand["_start_node"] = int(enc["start_node"][i])
+            cand["_heading"] = int(enc["heading"][i])
+            flat.append(cand)
+    assert len(flat) >= 8
+
+    single = speaker_score_candidates(
+        s_params, tables, flat, use_glove=False, max_device_batch=None,
+    )
+
+    mesh = pm.make_mesh()
+    s_params_r = pm.replicate(mesh, s_params)
+    tables_r = type(tables)(*[
+        jax.device_put(x, pm.replicated(mesh)) for x in tables
+    ])
+    sharded = speaker_score_candidates(
+        s_params_r, tables_r, flat, use_glove=False, max_device_batch=None,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-5
+    )
+
+    # chunked + mesh composes too (chunk 8 splits over the 8-device mesh)
+    chunked = speaker_score_candidates(
+        s_params_r, tables_r, flat, use_glove=False, max_device_batch=8,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(single), rtol=1e-5, atol=1e-5
+    )

@@ -35,11 +35,17 @@ from ..models import speaker as smodels
 
 class GoldTrajectories(NamedTuple):
     action_embeddings: jnp.ndarray  # (B, T, E) chosen-action embedding
-    world_features: jnp.ndarray  # (B, T, 36, E) pano features per step
+    world_features: jnp.ndarray | None  # (B, T, 36, E) pano features per
+    #   step, or None in lazy mode (gnode/view_index carry the panorama
+    #   IDENTITY instead; the encoder gathers one step at a time — the
+    #   (B, T, 36, E) stack never exists, which is the structural fix for
+    #   the axon forced-replay fault, docs/ROUND3.md)
     actions: jnp.ndarray  # (B, T) teacher actions taken
     nodes: jnp.ndarray  # (B, T) node AFTER each step
     path_mask: jnp.ndarray  # (B, T) True = padding (for ctx attention)
     path_len: jnp.ndarray  # (B,) number of actions incl. stop
+    gnode: jnp.ndarray | None = None  # (B, T) global node BEFORE each step
+    view_index: jnp.ndarray | None = None  # (B, T) viewIndex BEFORE each step
 
 
 @partial(jax.jit, static_argnames=("episode_len",))
@@ -120,6 +126,7 @@ def score_instructions(
     fused_teacher: bool = True,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    tables: vecenv.EnvTables | None = None,
 ) -> SpeakerOutput:
     """Teacher/argmax/sample decode with NLL loss
     (speaker.py:123-202 _score_obs_actions_and_instructions).
@@ -150,15 +157,33 @@ def score_instructions(
         )
     b = gold.path_len.shape[0]
     rng, enc_key = jax.random.split(rng)
-    ctx, h_t, c_t = smodels.speaker_encoder_apply(
-        params["encoder"],
-        gold.action_embeddings[:, :unroll_len],
-        gold.world_features[:, :unroll_len],
-        dropout_ratio=dropout_ratio,
-        deterministic=deterministic,
-        rng=enc_key,
-        valid_len=encoder_valid_len,
-    )
+    if gold.world_features is None:
+        # lazy features (forced_rollout lazy_features=True): the encoder
+        # gathers each step's panorama from ``tables`` inside its scan
+        assert tables is not None, "lazy GoldTrajectories need tables"
+        ctx, h_t, c_t = smodels.speaker_encoder_apply(
+            params["encoder"],
+            gold.action_embeddings[:, :unroll_len],
+            None,
+            dropout_ratio=dropout_ratio,
+            deterministic=deterministic,
+            rng=enc_key,
+            valid_len=encoder_valid_len,
+            tables=tables,
+            gnode=gold.gnode[:, :unroll_len],
+            view_index=gold.view_index[:, :unroll_len],
+            live=~gold.path_mask[:, :unroll_len],
+        )
+    else:
+        ctx, h_t, c_t = smodels.speaker_encoder_apply(
+            params["encoder"],
+            gold.action_embeddings[:, :unroll_len],
+            gold.world_features[:, :unroll_len],
+            dropout_ratio=dropout_ratio,
+            deterministic=deterministic,
+            rng=enc_key,
+            valid_len=encoder_valid_len,
+        )
     path_mask = gold.path_mask[:, :unroll_len]
 
     if fused_teacher and feedback == "teacher" and not use_input_att_feed:
@@ -324,16 +349,73 @@ def _score_teacher_batched(
     )
 
 
-@partial(jax.jit, static_argnames=("episode_len",))
-def forced_rollout(tables: vecenv.EnvTables, batch, *, episode_len: int = 10):
+@partial(jax.jit, static_argnames=("episode_len", "lazy_features"))
+def forced_rollout(
+    tables: vecenv.EnvTables, batch, *, episode_len: int = 10,
+    lazy_features: bool = False,
+):
     """Like gold_rollout but replaying given action sequences — used to
     build the speaker's input tensors for arbitrary follower candidates
     (rational_follower.py:59-69 feeds candidate (obs, actions) into the
-    speaker).  ``batch`` needs forced_actions (B, T) and forced_len (B,)."""
+    speaker).  ``batch`` needs forced_actions (B, T) and forced_len (B,).
+
+    ``lazy_features``: return world_features=None and the per-step
+    (gnode, view_index) identity instead — the chosen-action embedding is
+    assembled from ONE bank row per step, and the (B, T, 36, D) feature
+    stack never materializes (the speaker encoder gathers per step:
+    models/speaker.speaker_encoder_apply).  Value-exact vs the
+    materialized path (tested); this is the structural fix for the axon
+    backend fault on large replay batches over many-scan worlds
+    (docs/ROUND3.md: the fault signature is the stacked gather program,
+    B >= ~24 x 61 scans killed the worker)."""
     state = vecenv.reset(batch["scan"], batch["start_node"], batch["heading"])
     actions = batch["forced_actions"]
     forced_len = batch["forced_len"]
     goal = batch["start_node"]  # teacher unused
+
+    if lazy_features:
+        feat_dtype = tables.features.dtype
+
+        def step_fn(carry, t):
+            state = carry
+            obs = vecenv.observe_lite(tables, state, goal)
+            live = t < forced_len
+            a = jnp.where(live, actions[:, t], 0)
+            gnode = tables.offsets[state.scan] + state.node
+            slot = jnp.clip(a - 1, 0, obs.nbr_view.shape[1] - 1)
+            view_sel = jnp.take_along_axis(obs.nbr_view, slot[:, None], 1)[:, 0]
+            rh = jnp.take_along_axis(obs.rel_heading, slot[:, None], 1)[:, 0]
+            re = jnp.take_along_axis(obs.rel_elevation, slot[:, None], 1)[:, 0]
+            feat_row = tables.features[gnode, jnp.maximum(view_sel, 0)]
+            a_emb = jnp.concatenate(
+                [feat_row, vecenv._angle_embedding(rh, re).astype(feat_dtype)],
+                axis=-1,
+            )
+            # zero when stopped/padded AND when the forced action is out of
+            # range (the materialized path's observe() zeroes invalid
+            # slots, env.py:60-66 stop row + slot_valid masking)
+            valid_a = jnp.take_along_axis(obs.action_valid, a[:, None], 1)[:, 0]
+            a_emb = jnp.where((live & (a > 0) & valid_a)[:, None], a_emb, 0.0)
+            new_state = vecenv.step(tables, state, a)
+            return new_state, (
+                a_emb, gnode, obs.view_index, a, new_state.node, live
+            )
+
+        _, (a_embs, gnodes, views, acts, nodes, live) = jax.lax.scan(
+            step_fn, state, jnp.arange(episode_len)
+        )
+        to_bt = lambda x: jnp.swapaxes(x, 0, 1)
+        live = to_bt(live)
+        return GoldTrajectories(
+            action_embeddings=to_bt(a_embs),
+            world_features=None,
+            actions=to_bt(acts),
+            nodes=to_bt(nodes),
+            path_mask=~live,
+            path_len=live.sum(axis=1).astype(jnp.int32),
+            gnode=to_bt(gnodes),
+            view_index=to_bt(views),
+        )
 
     def step_fn(carry, t):
         state = carry

@@ -77,6 +77,7 @@ def speaker_score_candidates(
     use_glove: bool = True,
     max_device_batch: int | None | str = "auto",
     mesh=None,
+    lazy_features: bool = True,
     _forced_unroll: int | None = None,
 ):
     """Teacher-forced speaker log-likelihood of each candidate's own
@@ -105,6 +106,13 @@ def speaker_score_candidates(
     value-exact vs a single dispatch (the speaker encoder follows the
     reference's no-length-masking unroll — model.py:437-457 — so scores
     depend on the unroll length; see models/speaker.py).
+
+    ``lazy_features`` (default ON): replay with world_features held as
+    per-step (gnode, view_index) identity and gathered one step at a
+    time inside the encoder scan — value-exact (tested), and the
+    (B, T, 36, D) stacked-gather program whose execution faulted the
+    axon worker (docs/ROUND3.md) is never built.  OFF reproduces the
+    round-3 materialized program for A/B.
     """
     m = len(candidates_flat)
 
@@ -133,7 +141,8 @@ def speaker_score_candidates(
                 max_instruction_length=max_instruction_length,
                 episode_len=episode_len, use_glove=use_glove,
                 max_device_batch=None,  # chunk IS the requested dispatch
-                mesh=mesh, _forced_unroll=unroll,
+                mesh=mesh, lazy_features=lazy_features,
+                _forced_unroll=unroll,
             )
             out.extend(scores[: len(chunk)])
         return np.asarray(out)
@@ -188,11 +197,15 @@ def speaker_score_candidates(
 
     def run_scoring():
         t0 = time.perf_counter()
-        gold = sa.forced_rollout(tables, batch, episode_len=episode_len)
+        gold = sa.forced_rollout(
+            tables, batch, episode_len=episode_len,
+            lazy_features=lazy_features,
+        )
         out = sa.score_instructions(
             speaker_params, gold, seq, jax.random.PRNGKey(0),
             feedback="teacher", instruction_len=max_instruction_length,
             unroll_len=max(unroll, 1), deterministic=True, use_glove=use_glove,
+            tables=tables if lazy_features else None,
         )
         scores = np.asarray(out.score)[:m]
         import sys as _sys

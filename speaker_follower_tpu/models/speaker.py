@@ -53,12 +53,16 @@ def speaker_encoder_init(
 def speaker_encoder_apply(
     p,
     action_embeddings,  # (B, T, E) chosen-action embeddings per step
-    world_features,  # (B, T, V, F) panorama features per step
+    world_features,  # (B, T, V, F) panorama features per step, or None
     *,
     dropout_ratio: float = 0.5,
     deterministic: bool = True,
     rng=None,
     valid_len=None,
+    tables=None,
+    gnode=None,  # (B, T) int32 — lazy mode (world_features None)
+    view_index=None,  # (B, T) int32
+    live=None,  # (B, T) bool — steps whose panorama is real (not padding)
 ):
     """Returns (ctx (B, T, H), decoder_h0 (B, H), c (B, H)).
 
@@ -71,6 +75,12 @@ def speaker_encoder_apply(
     unchanged — exactly what a shorter unroll would compute.  None = the
     static T is the unroll (callers that already shrink-wrap T to the
     batch max on the host).
+
+    Lazy mode (``world_features=None``): pass ``tables`` + per-step
+    ``gnode``/``view_index``/``live`` instead; each step gathers its own
+    (B, 36, D) panorama from the bank inside the scan, so the
+    (B, T, 36, D) stack never exists in the program — value-exact vs the
+    materialized path (agents/speaker.forced_rollout ``lazy_features``).
     """
     b, t, _ = action_embeddings.shape
     hidden = p["lstm"]["w_hh"].shape[-1]
@@ -82,9 +92,22 @@ def speaker_encoder_apply(
     else:
         step_keys = jnp.zeros((t, 2), jnp.uint32)
 
+    lazy = world_features is None
+    if lazy:
+        assert tables is not None and gnode is not None
+        feat_dtype = tables.features.dtype
+        num_views = 36
+
     def step(carry, inp):
         h, c = carry
-        a_emb, w_feat, k, t_ix = inp
+        if lazy:
+            a_emb, g_t, v_t, live_t, k, t_ix = inp
+            pano = tables.features[g_t][:, :num_views]  # (B, 36, D)
+            loc = tables.loc_embed[v_t].astype(feat_dtype)
+            w_feat = jnp.concatenate([pano, loc], axis=-1)
+            w_feat = jnp.where(live_t[:, None, None], w_feat, 0.0)
+        else:
+            a_emb, w_feat, k, t_ix = inp
         feature, _ = attn.visual_soft_dot(p["visual_attention"], h, w_feat)
         concat_input = jnp.concatenate([a_emb, feature], axis=-1)
         if rng is not None:
@@ -96,16 +119,23 @@ def speaker_encoder_apply(
             c1 = jnp.where(upd, c1, c)
         return (h1, c1), h1
 
-    (h_f, c_f), hs = jax.lax.scan(
-        step,
-        (h0, c0),
-        (
+    if lazy:
+        xs = (
+            jnp.swapaxes(action_embeddings, 0, 1),
+            jnp.swapaxes(gnode, 0, 1),
+            jnp.swapaxes(view_index, 0, 1),
+            jnp.swapaxes(live, 0, 1),
+            step_keys,
+            jnp.arange(t),
+        )
+    else:
+        xs = (
             jnp.swapaxes(action_embeddings, 0, 1),
             jnp.swapaxes(world_features, 0, 1),
             step_keys,
             jnp.arange(t),
-        ),
-    )
+        )
+    (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xs)
     ctx = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
     decoder_init = jnp.tanh(linear(p["encoder2decoder"], h_f))
     if rng is not None:

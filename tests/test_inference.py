@@ -347,3 +347,82 @@ def test_fused_teacher_pallas_lstm_matches_xla(world):
     )
     np.testing.assert_allclose(float(pal.loss), float(xla.loss),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lazy_features_scoring_matches_materialized(world):
+    """forced_rollout(lazy_features=True) + the encoder's in-scan panorama
+    gather must reproduce the materialized (B, T, 36, D) path exactly —
+    the structural fix for the axon stacked-gather fault (docs/ROUND3.md)
+    must be a pure program transformation."""
+    import jax
+
+    from speaker_follower_tpu.agents import speaker as sa
+    from speaker_follower_tpu.inference.rational_follower import (
+        speaker_score_candidates,
+    )
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    rng = np.random.RandomState(11)
+    g0 = bank.graphs[bank.scan_ids[0]]
+    inc = np.nonzero(g0.included & (g0.adj_count > 0))[0]
+    cands = []
+    for j in range(9):
+        node = int(inc[rng.randint(len(inc))])
+        n_act = rng.randint(1, 6)
+        acts = [int(rng.randint(1, g0.adj_count[node] + 1))
+                for _ in range(n_act - 1)] + [0]
+        cands.append({
+            "_scan_ix": 0,
+            "_start_node": node,
+            "_heading": int(rng.randint(12)),
+            "actions": acts,
+            "instr_encoding": rng.randint(
+                4, len(vocab), size=rng.randint(3, 10)
+            ).astype(np.int32),
+        })
+
+    lazy = speaker_score_candidates(
+        s_params, tables, cands, max_instruction_length=MAXLEN,
+        use_glove=False, lazy_features=True,
+    )
+    materialized = speaker_score_candidates(
+        s_params, tables, cands, max_instruction_length=MAXLEN,
+        use_glove=False, lazy_features=False,
+    )
+    np.testing.assert_allclose(lazy, materialized, rtol=1e-6, atol=1e-6)
+
+    # GoldTrajectories-level exactness: shared fields identical
+    b = 8
+    batch = {
+        "scan": jnp.zeros((b,), jnp.int32),
+        "start_node": jnp.asarray(inc[:b].astype(np.int32)),
+        "heading": jnp.asarray(rng.randint(12, size=b).astype(np.int32)),
+        "forced_actions": jnp.asarray(
+            np.stack([
+                np.pad(np.asarray([1] * (i % 3 + 1), np.int32),
+                       (0, 10 - (i % 3 + 1)))
+                for i in range(b)
+            ])
+        ),
+        "forced_len": jnp.asarray((np.arange(b) % 3 + 1).astype(np.int32)),
+    }
+    g_lazy = sa.forced_rollout(tables, batch, lazy_features=True)
+    g_mat = sa.forced_rollout(tables, batch, lazy_features=False)
+    np.testing.assert_allclose(  # trig on gathered vs vectorized scalars
+        np.asarray(g_lazy.action_embeddings),  # fuses differently: ~1e-7
+        np.asarray(g_mat.action_embeddings), atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(g_lazy.actions),
+                                  np.asarray(g_mat.actions))
+    np.testing.assert_array_equal(np.asarray(g_lazy.nodes),
+                                  np.asarray(g_mat.nodes))
+    np.testing.assert_array_equal(np.asarray(g_lazy.path_len),
+                                  np.asarray(g_mat.path_len))
+    assert g_lazy.world_features is None
+    # the lazy identity reconstructs the materialized panoramas
+    pano = np.asarray(tables.features)[np.asarray(g_lazy.gnode)][:, :, :36]
+    loc = np.asarray(tables.loc_embed)[np.asarray(g_lazy.view_index)]
+    w = np.concatenate([pano, loc.astype(pano.dtype)], axis=-1)
+    live = ~np.asarray(g_lazy.path_mask)
+    w = np.where(live[:, :, None, None], w, 0.0)
+    np.testing.assert_array_equal(w, np.asarray(g_mat.world_features))

@@ -445,12 +445,25 @@ def _action_kernel(
     weighted_ref[:, :d] = (feat * attn[:, :, None]).sum(axis=1)
     weighted_ref[:, d:] = (loc * attn[:, :, None]).sum(axis=1)
 
-    # action-feature gather from the VMEM-resident block: row k of element
-    # i is the neighbor's view feature (static loop — 16*BB dynamic
-    # sublane loads from scratch, zero extra HBM traffic)
+    # action-feature gather from the VMEM-resident block.  A dynamic
+    # sublane load (feat_scratch[i, nbr, :]) is rejected by Mosaic ("cannot
+    # statically prove that index in dimension 1 is a multiple of 8"), so
+    # the gather is expressed as a one-hot (AF_ROWS, 40) x (40, D) matmul
+    # per element — the selector matrix is exact in bf16 and the MXU does
+    # the row selection; zero extra HBM traffic either way.
+    row = jax.lax.broadcasted_iota(jnp.int32, (AF_ROWS, PADDED_VIEWS), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (AF_ROWS, PADDED_VIEWS), 1)
     for i in range(block_b):
+        nbr_mat = jnp.zeros((AF_ROWS, PADDED_VIEWS), jnp.int32)
         for k in range(AF_ROWS):
-            af_ref[i, k, :] = feat_scratch[i, nbr_ref[b0 + i, k], :]
+            nbr_mat = jnp.where(row == k, nbr_ref[b0 + i, k], nbr_mat)
+        onehot = (col == nbr_mat).astype(feat_scratch.dtype)
+        af_ref[i, :, :] = jax.lax.dot_general(
+            onehot,
+            feat_scratch[i],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(af_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("block_b", "interpret"))

@@ -397,7 +397,10 @@ def _action_kernel(
     # scalar prefetch
     gnode_ref,  # (B,) int32
     view_ref,  # (B,) int32
-    nbr_ref,  # (B, AF_ROWS) int32 — permuted neighbor absViewIndex, pads 0
+    nbr_ref,  # (B * AF_ROWS,) int32 — permuted neighbor absViewIndex, pads
+    #   0, flattened: a 2-D (B, 16) scalar-prefetch operand is lane-padded
+    #   to (B, 128) in SMEM (1 MB at B=2048 — overflows the 1 MB budget);
+    #   the flat form stays at B*16*4 bytes
     # inputs
     features_hbm,  # (T, 40, D) in ANY/HBM
     loc_table_ref,  # (36, 36, 128) VMEM
@@ -456,7 +459,7 @@ def _action_kernel(
     for i in range(block_b):
         nbr_mat = jnp.zeros((AF_ROWS, PADDED_VIEWS), jnp.int32)
         for k in range(AF_ROWS):
-            nbr_mat = jnp.where(row == k, nbr_ref[b0 + i, k], nbr_mat)
+            nbr_mat = jnp.where(row == k, nbr_ref[(b0 + i) * AF_ROWS + k], nbr_mat)
         onehot = (col == nbr_mat).astype(feat_scratch.dtype)
         af_ref[i, :, :] = jax.lax.dot_general(
             onehot,
@@ -548,7 +551,7 @@ def fused_pano_action_attention(
     )(
         gnode.astype(jnp.int32),
         view_index.astype(jnp.int32),
-        jnp.clip(nbr_view.astype(jnp.int32), 0, PADDED_VIEWS - 1),
+        jnp.clip(nbr_view.astype(jnp.int32), 0, PADDED_VIEWS - 1).reshape(-1),
         features,
         loc_table,
         v_feat.astype(jnp.float32),

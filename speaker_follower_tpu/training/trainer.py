@@ -99,7 +99,10 @@ class FollowerTrainer:
         """``mesh``: optional jax.sharding.Mesh for data-parallel episode
         sharding — params/optimizer/tables replicated, batches sharded on
         their leading axis (parallel/mesh.py)."""
-        self.params = params
+        # own a private copy: the interval path donates param buffers
+        # (donate_argnums), which would otherwise delete the CALLER's
+        # arrays out from under them on the first train_interval call
+        self.params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         self.tables = tables
         self.train_ds = train_ds
         self.graph_bank = graph_bank
@@ -522,7 +525,9 @@ class FollowerTrainer:
 class SpeakerTrainer:
     def __init__(self, params, tables, train_ds, graph_bank, cfg: TrainConfig,
                  tokenizer=None, val_envs=None, rng=None, mesh=None):
-        self.params = params
+        # private copy — the interval path donates param buffers (see
+        # FollowerTrainer.__init__)
+        self.params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         self.tables = tables
         self.train_ds = train_ds
         self.graph_bank = graph_bank

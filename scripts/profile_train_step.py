@@ -106,6 +106,10 @@ def main():
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--compute", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--feedback", default="sample",
+                    choices=["sample", "teacher", "argmax"])
+    ap.add_argument("--no_factored", action="store_true",
+                    help="disable the time-batched decoder tail")
     ap.add_argument("--speaker", action="store_true",
                     help="profile the speaker train step instead")
     args = ap.parse_args()
@@ -123,8 +127,10 @@ def main():
     from speaker_follower_tpu.training.optim import adam_with_torch_wd
 
     bank, tables, batch = build_world_and_batch(batch_size, args.pallas)
+    factored = not args.no_factored
     print(f"device={jax.devices()[0]} batch={batch_size} pallas={args.pallas} "
-          f"compute={args.compute}")
+          f"compute={args.compute} feedback={args.feedback} "
+          f"factored={factored}")
 
     params = init_follower(
         jax.random.PRNGKey(0), vocab_size=992, word_embedding_size=300,
@@ -139,13 +145,15 @@ def main():
     # ---- full rollout forward (train config: sample feedback, dropout)
     def loss_fn(p, t, b, k):
         return rollout(
-            p, t, b, k, feedback="sample", episode_len=EPISODE_LEN,
+            p, t, b, k, feedback=args.feedback, episode_len=EPISODE_LEN,
             deterministic=False, dropout_ratio=0.5,
             compute_dtype=compute_dtype, use_pallas=use_pallas,
+            factored_loss=factored,
         ).loss
 
     fwd = jax.jit(loss_fn)
-    timeit("rollout fwd (sample, dropout)", fwd, params, tables, batch, key)
+    timeit(f"rollout fwd ({args.feedback}, dropout)", fwd, params, tables,
+           batch, key)
 
     # ---- full train grad (scalarized: ship one float, not 80 MB of grads)
     def vg_scalar(p, t, b, k):

@@ -60,6 +60,60 @@ def _select_action(feedback, logit, log_probs, target, valid, rng):
     raise ValueError(f"invalid feedback option {feedback!r}")
 
 
+def _factored_tail(
+    params, tables, ctx, seq_mask, actions, targets, h1_seq, drop_keys,
+    gnode_seq, nbr_view_seq, rel_h_seq, rel_e_seq, valid_seq,
+    *, dropout_ratio, deterministic, use_pallas=False, pallas_interpret=False,
+):
+    """Time-batched decoder tail + CE over the recorded trajectory.
+
+    The env action planes come stacked from the scan (they are computed
+    there anyway).  With ``use_pallas`` the neighbor-feature scoring term
+    streams the bank blocks through the fused kernel (ops/bank_score.py);
+    otherwise the rows are re-gathered in XLA (slow two-axis gather — the
+    pallas path is the production config).  Returns (loss scalar f32,
+    a_scores (T, B) f32) matching the in-scan computation exactly (same
+    logits math, same dropout masks via drop_keys, same CE-with-ignore
+    semantics)."""
+    t_dim, b = targets.shape
+    if use_pallas:
+        af = None
+        bank = (tables.features, gnode_seq, nbr_view_seq)
+    else:
+        nbrv = jnp.clip(nbr_view_seq, 0, tables.features.shape[1] - 1)
+        af = tables.features[gnode_seq[..., None], nbrv]  # (T, B, MD, D)
+        bank = None
+    logits, _, _ = fmodels.decoder_tail_time_batched(
+        params["decoder"],
+        h1_seq,
+        drop_keys,
+        ctx,
+        seq_mask,
+        af,
+        jnp.sin(rel_h_seq),
+        jnp.cos(rel_h_seq),
+        jnp.sin(rel_e_seq),
+        jnp.cos(rel_e_seq),
+        dropout_ratio=dropout_ratio,
+        deterministic=deterministic,
+        bank=bank,
+        pallas_interpret=pallas_interpret,
+    )
+    _, log_probs = _masked_log_softmax(
+        logits.astype(jnp.float32), valid_seq
+    )  # (T, B, A)
+
+    tgt_safe = jnp.maximum(targets, 0)
+    ce = -jnp.take_along_axis(log_probs, tgt_safe[..., None], axis=-1)[..., 0]
+    valid_tgt = targets >= 0
+    count = valid_tgt.sum(axis=1)
+    loss_t = jnp.where(
+        count > 0, (ce * valid_tgt).sum(axis=1) / jnp.maximum(count, 1), 0.0
+    )
+    a_scores = jnp.take_along_axis(log_probs, actions[..., None], axis=-1)[..., 0]
+    return loss_t.sum(), a_scores
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -73,6 +127,7 @@ def _select_action(feedback, logit, log_probs, target, valid, rng):
         "pallas_interpret",
         "compute_dtype",
         "remat",
+        "factored_loss",
     ),
 )
 def rollout(
@@ -91,6 +146,7 @@ def rollout(
     pallas_interpret: bool = False,
     compute_dtype: str | None = None,
     remat: bool = False,
+    factored_loss: bool = False,
 ) -> RolloutOutput:
     """Run a full batched episode.
 
@@ -113,6 +169,18 @@ def rollout(
     all ``episode_len`` of them live, trading ~1 extra forward for an
     O(episode_len) cut in peak activation memory — what lets batch-4096
     training fit in a v5e's 16 GB HBM.
+
+    ``factored_loss=True`` computes the CE loss (and action scores) in a
+    TIME-BATCHED decoder tail outside the scan: gradients never flow
+    through action selection (integers), so only the visual-attention +
+    LSTM-cell chain is genuinely sequential — the text attention, scoring,
+    log-softmax and CE for all T steps run as single (T*B)-row programs
+    on the recorded trajectory (models/follower.decoder_tail_time_batched).
+    For teacher/forced feedback the in-scan tail is skipped entirely; for
+    sample/argmax it still runs (to pick actions) but under stop_gradient,
+    so the backward pass through it batches over time either way.  The h1
+    dropout masks reuse the scan's per-step keys — the factored loss
+    equals the unfactored one exactly (tests/test_rollout_factored.py).
     """
     if compute_dtype is not None:
         cd = jnp.dtype(compute_dtype)
@@ -199,26 +267,69 @@ def rollout(
             action_embedding = obs.action_embedding
             pano_feature = obs.pano_feature
 
-        h1, c1, alpha, logit, alpha_v = fmodels.decoder_step(
-            params["decoder"],
-            u_prev,
-            action_embedding,
-            pano_feature,
-            h,
-            c,
-            ctx,
-            seq_mask,
-            dropout_ratio=dropout_ratio,
-            deterministic=deterministic,
-            rng=drop_key,
-            precomputed_visual=precomputed_visual,
-            precomputed_action=precomputed_action,
-        )
-        # softmax/CE always in f32 (bf16 has ~3 decimal digits; the loss
-        # and sampling distribution must not quantize)
-        logit, log_probs = _masked_log_softmax(
-            logit.astype(jnp.float32), obs.action_valid
-        )
+        if factored_loss:
+            # stack the lite action planes for the time-batched tail —
+            # recomputing them there with a flat (T*B) observe_lite costs
+            # ~26 ms at b2048 (tiny-row gathers are latency-bound on TPU),
+            # while emitting them is a few MB of scan outputs.  On the
+            # non-pallas branch observe_lite shares its gathers with
+            # observe(), so CSE makes the extra call free.
+            lite = obs if use_pallas else vecenv.observe_lite(tables, state, goal)
+            lite_gnode = tables.offsets[state.scan] + state.node
+            lite_planes = (
+                lite_gnode,
+                lite.nbr_view,
+                lite.rel_heading,
+                lite.rel_elevation,
+                lite.action_valid,
+            )
+
+        # with the factored loss, teacher/forced steps never need logits —
+        # the tail (text attention + scoring + CE) runs time-batched after
+        # the scan; only the visual attention + LSTM cell stay sequential
+        skip_tail = factored_loss and (forced or feedback == "teacher")
+        if skip_tail:
+            if precomputed_visual is not None:
+                feature = precomputed_visual[0].astype(h.dtype)
+            else:
+                from ..models import attention as fattn
+
+                feature, _ = fattn.visual_soft_dot_fast(
+                    params["decoder"]["visual_attention"],
+                    h,
+                    pano_feature.astype(h.dtype),
+                )
+            h1, c1 = fmodels.decoder_core(
+                params["decoder"], u_prev, feature, h, c,
+                dropout_ratio=dropout_ratio, deterministic=deterministic,
+                rng=drop_key,
+            )
+            logit = log_probs = None
+        else:
+            h1, c1, alpha, logit, alpha_v = fmodels.decoder_step(
+                params["decoder"],
+                u_prev,
+                action_embedding,
+                pano_feature,
+                h,
+                c,
+                ctx,
+                seq_mask,
+                dropout_ratio=dropout_ratio,
+                deterministic=deterministic,
+                rng=drop_key,
+                precomputed_visual=precomputed_visual,
+                precomputed_action=precomputed_action,
+            )
+            if factored_loss:
+                # logits only pick actions here; the loss recomputes them
+                # time-batched, so no residuals/backward through this tail
+                logit = jax.lax.stop_gradient(logit)
+            # softmax/CE always in f32 (bf16 has ~3 decimal digits; the loss
+            # and sampling distribution must not quantize)
+            logit, log_probs = _masked_log_softmax(
+                logit.astype(jnp.float32), obs.action_valid
+            )
 
         ended = state.done
         if forced:
@@ -233,18 +344,22 @@ def rollout(
             )
             live = ~ended
 
-        # per-step CE, mean over non-ignored episodes (torch CrossEntropyLoss
-        # with ignore_index=-1)
-        tgt_safe = jnp.maximum(target, 0)
-        ce = -jnp.take_along_axis(log_probs, tgt_safe[:, None], axis=1)[:, 0]
-        valid_tgt = target >= 0
-        count = valid_tgt.sum()
-        loss_t = jnp.where(
-            count > 0, (ce * valid_tgt).sum() / jnp.maximum(count, 1), 0.0
-        )
+        if factored_loss:
+            loss_t = jnp.zeros((), jnp.float32)  # tail computes the loss
+            a_score = jnp.zeros_like(target, jnp.float32)
+        else:
+            # per-step CE, mean over non-ignored episodes (torch
+            # CrossEntropyLoss with ignore_index=-1)
+            tgt_safe = jnp.maximum(target, 0)
+            ce = -jnp.take_along_axis(log_probs, tgt_safe[:, None], axis=1)[:, 0]
+            valid_tgt = target >= 0
+            count = valid_tgt.sum()
+            loss_t = jnp.where(
+                count > 0, (ce * valid_tgt).sum() / jnp.maximum(count, 1), 0.0
+            )
 
-        # log-prob of the chosen action (reference action_scores)
-        a_score = jnp.take_along_axis(log_probs, a_t[:, None], axis=1)[:, 0]
+            # log-prob of the chosen action (reference action_scores)
+            a_score = jnp.take_along_axis(log_probs, a_t[:, None], axis=1)[:, 0]
 
         new_state = vecenv.step(tables, state, a_t)
         if use_pallas:
@@ -279,6 +394,8 @@ def rollout(
             target,
             loss_t,
         )
+        if factored_loss:
+            out = out + (h1, drop_key) + lite_planes
         return (new_state, h1, c1, u_next, rng), out
 
     if remat:
@@ -288,13 +405,26 @@ def rollout(
         (state, h_t, c_t, u_prev, rng),
         jnp.arange(episode_len),
     )
-    nodes, headings, elevs, actions, a_scores, active, targets, losses = outs
+    if factored_loss:
+        (nodes, headings, elevs, actions, a_scores, active, targets, losses,
+         h1_seq, drop_keys, gnode_seq, nbr_view_seq, rel_h_seq, rel_e_seq,
+         valid_seq) = outs
+        loss, a_scores = _factored_tail(
+            params, tables, ctx, seq_mask, actions, targets, h1_seq,
+            drop_keys, gnode_seq, nbr_view_seq, rel_h_seq, rel_e_seq,
+            valid_seq, dropout_ratio=dropout_ratio,
+            deterministic=deterministic, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
+        )
+    else:
+        nodes, headings, elevs, actions, a_scores, active, targets, losses = outs
+        loss = losses.sum()
     # scan stacks along axis 0 (time); put batch first
     to_bt = lambda x: jnp.swapaxes(x, 0, 1)
     active_bt = to_bt(active)
     score = (to_bt(a_scores) * active_bt).sum(axis=1)
     return RolloutOutput(
-        loss=losses.sum(),
+        loss=loss,
         nodes=to_bt(nodes),
         headings=to_bt(headings),
         elevs=to_bt(elevs),

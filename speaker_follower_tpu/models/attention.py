@@ -171,6 +171,52 @@ def eltwise_prod_scoring_split(p, h, af, sin_h, cos_h, sin_e, cos_e):
     return jnp.concatenate([stop, nbr + hv1c], axis=1)
 
 
+def eltwise_prod_scoring_bank(
+    p, h, features, gnode, nbr_view, sin_h, cos_h, sin_e, cos_e,
+    *, block_b: int = 8, interpret: bool = False,
+):
+    """eltwise_prod_scoring_split with the neighbor-feature term computed
+    by the fused Pallas bank-score kernel (ops/bank_score.py): the
+    af . (hm + v2) dot streams the node blocks HBM->VMEM instead of
+    materializing the (N, A, D) gathered tensor XLA's two-axis gather
+    would build (catastrophically slowly).  Needs a view-padded bank
+    (features.shape[1] == 40).  Same math, same (N, 1 + A) output."""
+    from ..ops.bank_score import bank_score
+
+    w_h = p["linear_in_h"]["w"]
+    b_h = p["linear_in_h"]["b"]
+    w_a = p["linear_in_a"]["w"]
+    b_a = p["linear_in_a"]["b"]
+    w_o = p["linear_out"]["w"][0]
+    b_o = p["linear_out"]["b"][0]
+    d = features.shape[-1]
+
+    m = (w_h * w_o[:, None]).T @ w_a  # (H, Da)
+    v1 = w_h.T @ (w_o * b_a)
+    v2 = w_a.T @ (w_o * b_h)
+    c = jnp.dot(b_h * w_o, b_a) + b_o
+
+    hm = h @ m[:, :d]  # (N, D)
+    hm_ang = (h @ m[:, d:]).reshape(h.shape[0], 4, 32).sum(-1)  # (N, 4)
+    v2_ang = v2[d:].reshape(4, 32).sum(-1)
+
+    q = hm.astype(jnp.float32) + v2[:d].astype(jnp.float32)
+    from ..ops.bank_score import A_ROWS
+
+    md = nbr_view.shape[1]
+    if md < A_ROWS:  # MAX_DEGREE=15 -> the kernel's padded 16 rows
+        nbr_view = jnp.pad(nbr_view, ((0, 0), (0, A_ROWS - md)))
+    nbr = bank_score(features, gnode, nbr_view, q, block_b, interpret)
+    nbr = nbr[:, :md].astype(h.dtype)
+    trig = (sin_h, cos_h, sin_e, cos_e)
+    for j, t in enumerate(trig):
+        t = t.astype(h.dtype)
+        nbr = nbr + t * hm_ang[:, j][:, None] + t * v2_ang[j]
+    hv1c = (h @ v1)[:, None] + c
+    stop = jnp.broadcast_to(hv1c, (h.shape[0], 1))
+    return jnp.concatenate([stop, nbr + hv1c], axis=1)
+
+
 def feedforward_image_attention_init(key, context_size, hidden_size, image_feature_size=2048):
     """FeedforwardImageAttention (model.py:180-204).  The reference's 1x1
     Conv2d layers are plain channel-wise linears here (same math, MXU-

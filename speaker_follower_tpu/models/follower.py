@@ -134,6 +134,96 @@ def decoder_init_params(
     }
 
 
+def decoder_core(p, u_t_prev, feature, h_0, c_0, *, dropout_ratio,
+                 deterministic, rng):
+    """The sequential half of decoder_step: attended visual context +
+    previous action embedding -> input dropout -> LSTMCell
+    (model.py:377-385).  ``feature`` is the visual-attention output
+    (B, F).  The h1 dropout that follows in decoder_step belongs to the
+    TAIL (text attention onward) — its key is ``h1_dropout_key(rng)``."""
+    concat_input = jnp.concatenate([u_t_prev, feature], axis=-1)
+    if rng is not None:
+        _, k = jax.random.split(rng)
+        concat_input = dropout(k, concat_input, dropout_ratio, deterministic)
+    return lstm_cell(p["lstm"], concat_input, h_0, c_0)
+
+
+def h1_dropout_key(rng):
+    """Key decoder_step uses for the post-cell h1 dropout, as a pure
+    function of the step rng: the first split feeds the concat-input
+    dropout (decoder_core), the second feeds h1.  Kept as a helper so the
+    factored time-batched tail (agents/rollout.py) reproduces the exact
+    same masks as the in-scan step."""
+    a, _ = jax.random.split(rng)
+    _, k = jax.random.split(a)
+    return k
+
+
+def decoder_tail_time_batched(
+    p,
+    h1_seq,  # (T, B, H) post-cell hidden states (pre-dropout)
+    drop_keys,  # (T, 2) uint32 per-step rng (the rng decoder_step got) or None
+    ctx,  # (B, L, H)
+    ctx_mask,  # (B, L) True = masked, or None
+    af,  # (T, B, MD, D) neighbor view features, or None with ``bank``
+    sin_h, cos_h, sin_e, cos_e,  # (T, B, MD) per-action relative-angle trig
+    *,
+    dropout_ratio: float = 0.5,
+    deterministic: bool = True,
+    bank=None,  # (features (T, 40, D), gnode (T, B), nbr_view (T, B, MD)):
+    #   score actions with the fused Pallas bank kernel instead of a
+    #   materialized af (ops/bank_score.py) — XLA's two-axis row gather is
+    #   the factored tail's bottleneck otherwise
+    pallas_interpret: bool = False,
+):
+    """decoder_step's tail — h1 dropout -> text SoftDotAttention ->
+    EltwiseProdScoring (split form) — for ALL T decoder steps at once.
+
+    No gradient flows through action SELECTION (integers), so the tail can
+    be computed time-batched outside the sequential scan: the MXU sees
+    (T*B)-row matmuls instead of T sequential B-row ones, and the backward
+    pass through ~60% of the per-step chain batches over time.  With
+    ``drop_keys`` from the scan, the h1 dropout masks are bit-identical to
+    the in-scan decoder_step's (h1_dropout_key), so the factored loss
+    equals the unfactored one exactly.
+
+    Returns (logits (T, B, A), alpha (T, B, L), h_tilde (T, B, H)).
+    """
+    t_dim, b, hdim = h1_seq.shape
+    if drop_keys is not None:
+        h_drop = jax.vmap(
+            lambda k, x: dropout(
+                h1_dropout_key(k), x, dropout_ratio, deterministic
+            )
+        )(drop_keys, h1_seq)
+    else:
+        h_drop = h1_seq
+    pt = p["text_attention"]
+    target = linear(pt["linear_in"], h_drop)  # (T, B, H)
+    scores = jnp.einsum("blh,tbh->tbl", ctx, target)
+    if ctx_mask is not None:
+        scores = jnp.where(ctx_mask[None], attn.NEG_INF, scores)
+    alpha = jax.nn.softmax(scores, axis=-1)
+    weighted = jnp.einsum("tbl,blh->tbh", alpha, ctx)
+    h_tilde = jnp.tanh(
+        linear(pt["linear_out"], jnp.concatenate([weighted, h_drop], -1))
+    )
+    flat = lambda x: x.reshape((t_dim * b,) + x.shape[2:])  # noqa: E731
+    if bank is not None:
+        features, gnode, nbr_view = bank
+        logits = attn.eltwise_prod_scoring_bank(
+            p["decoder2action"], flat(h_tilde), features, flat(gnode),
+            flat(nbr_view), flat(sin_h), flat(cos_h), flat(sin_e),
+            flat(cos_e), interpret=pallas_interpret,
+        )
+    else:
+        logits = attn.eltwise_prod_scoring_split(
+            p["decoder2action"], flat(h_tilde), flat(af),
+            flat(sin_h), flat(cos_h), flat(sin_e), flat(cos_e),
+        )
+    return logits.reshape(t_dim, b, -1), alpha, h_tilde
+
+
 def decoder_step(
     p,
     u_t_prev,  # (B, E) previous action embedding
@@ -174,15 +264,15 @@ def decoder_step(
         feature, alpha_v = vis_attn(
             p["visual_attention"], h_0, visual_context.astype(h_0.dtype)
         )
-    concat_input = jnp.concatenate([u_t_prev, feature], axis=-1)
-    if rng is not None:
-        rng, k = jax.random.split(rng)
-        concat_input = dropout(k, concat_input, dropout_ratio, deterministic)
-    h_1, c_1 = lstm_cell(p["lstm"], concat_input, h_0, c_0)
+    h_1, c_1 = decoder_core(
+        p, u_t_prev, feature, h_0, c_0,
+        dropout_ratio=dropout_ratio, deterministic=deterministic, rng=rng,
+    )
     h_1_drop = h_1
     if rng is not None:
-        rng, k = jax.random.split(rng)
-        h_1_drop = dropout(k, h_1, dropout_ratio, deterministic)
+        h_1_drop = dropout(
+            h1_dropout_key(rng), h_1, dropout_ratio, deterministic
+        )
     h_tilde, alpha = attn.soft_dot_attention(
         p["text_attention"], h_1_drop, ctx, ctx_mask
     )

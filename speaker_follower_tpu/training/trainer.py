@@ -64,6 +64,18 @@ class TrainConfig:
     # very large episode batches (e.g. 4096 full-dim) that otherwise
     # exceed HBM.  Values are bit-identical (tests/test_rollout.py).
     remat: bool = False
+    # Time-batched decoder tail (agents/rollout._factored_tail): the text
+    # attention + scoring + CE run once over all T steps outside the scan
+    # (no gradient flows through action selection), so their backward
+    # batches over time.  Loss/grads equal the in-scan computation exactly
+    # (tests/test_rollout_factored.py).  Effective only together with
+    # use_pallas: without the bank-score kernel the tail's (T*B, MD)-row
+    # XLA gather both negates the win (measured +22 ms at b2048,
+    # runs/profile_b2048_factored_r4.log) and executes a large-gather
+    # program of the same shape class as the axon worker-fault signature
+    # (docs/ROUND3.md; a non-pallas factored CLI run reproduced a worker
+    # kill on 2026-08-19).
+    factored_loss: bool = True
     # jax.profiler trace dir: captures the SECOND training interval (the
     # first is compile+warmup) on both trainers.  None = off.
     profile_dir: str | None = None
@@ -174,6 +186,7 @@ class FollowerTrainer:
             use_pallas=cfg.use_pallas,
             pallas_interpret=cfg.pallas_interpret,
             remat=cfg.remat,
+            factored_loss=cfg.factored_loss and cfg.use_pallas,
         )
         return out.loss
 

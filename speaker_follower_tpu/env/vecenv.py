@@ -79,6 +79,16 @@ class EnvTables(NamedTuple):
     dist: jnp.ndarray  # (S, Nmax, Nmax) float32
     features: jnp.ndarray  # (T, 36, D) feature bank
     loc_embed: jnp.ndarray  # (36, 36, 128) float32
+    # Heading-permuted packed action table: row (gnode * 12 + heading) holds
+    # the ordered action list for that (node, heading) as (MAX_DEGREE, 4)
+    # int32 = [next_node, abs_view, bitcast_f32(rel_heading),
+    # bitcast_f32(rel_elevation)].  One contiguous-row gather replaces the
+    # observe-time chain of adj_perm gather -> take_along over 4 tables ->
+    # canonical-angle trig: TPU gathers of 64-byte rows are latency-bound,
+    # so fewer/wider gathers dominate the env-scan cost (the round-4
+    # factored-tail profiling measured the same effect on the action
+    # planes, runs/profile_b2048_factored_r4.log).
+    adj_packed: jnp.ndarray  # (T * 12, MAX_DEGREE, 4) int32
 
 
 class EnvState(NamedTuple):
@@ -130,7 +140,36 @@ def make_env_tables(
         dist=jnp.asarray(graph_bank.dist),
         features=jnp.asarray(feature_bank),
         loc_embed=jnp.asarray(build_loc_embedding_table()),
+        adj_packed=jnp.asarray(_build_packed_actions(graph_bank)),
     )
+
+
+def _build_packed_actions(graph_bank: GraphBank) -> np.ndarray:
+    """(T * 12, MAX_DEGREE, 4) int32: per (node, heading), the
+    heading-sorted action list [next, view, relh bits, rele bits] —
+    adj_perm pre-applied and the canonical relative heading pre-rotated,
+    so observe()/observe_lite()/step() need ONE row gather instead of a
+    perm gather + four take_along_axis + trig per step.  Pad slots
+    (perm == -1) duplicate slot 0's values; adj_count masks them exactly
+    as before."""
+    perm_safe = np.maximum(graph_bank.adj_perm, 0)  # (T, 12, MD)
+    take = lambda a: np.take_along_axis(  # noqa: E731
+        a[:, None, :], perm_safe, axis=2
+    )
+    nxt = take(graph_bank.adj_next).astype(np.int32)
+    view = take(graph_bank.adj_view).astype(np.int32)
+    bearing = take(graph_bank.adj_bearing).astype(np.float32)
+    elev = take(graph_bank.adj_elevation).astype(np.float32)
+    h = (np.arange(NUM_HEADINGS, dtype=np.float32) * ANGLE_INC)[None, :, None]
+    relh = bearing - h
+    relh = (relh - 2.0 * np.pi * np.round(relh / (2.0 * np.pi))).astype(
+        np.float32
+    )  # _canonical, f32 like the runtime path
+    packed = np.stack(
+        [nxt, view, relh.view(np.int32), elev.view(np.int32)], axis=-1
+    )  # (T, 12, MD, 4)
+    t, nh, md, _ = packed.shape
+    return np.ascontiguousarray(packed.reshape(t * nh, md, 4))
 
 
 def reset(scan, node, heading_step) -> EnvState:
@@ -182,22 +221,15 @@ def observe(tables: EnvTables, state: EnvState, goal) -> Observation:
     loc = tables.loc_embed[view_index].astype(feat_dtype)  # (B, 36, 128)
     pano_feature = jnp.concatenate([pano, loc], axis=-1)
 
-    # action list: per-heading sorted neighbor ordering
-    perm = jnp.take_along_axis(
-        tables.adj_perm[gnode], state.heading[:, None, None], axis=1
-    )[:, 0, :]  # (B, MAX_DEGREE)
-    perm_safe = jnp.maximum(perm, 0)
+    # action list: per-heading sorted neighbor ordering — one packed-row
+    # gather (see _build_packed_actions)
+    row = tables.adj_packed[gnode * NUM_HEADINGS + state.heading]  # (B, MD, 4)
+    nbr_next = row[..., 0]
+    nbr_view = row[..., 1]
+    rel_heading = jax.lax.bitcast_convert_type(row[..., 2], jnp.float32)
+    nbr_elev = jax.lax.bitcast_convert_type(row[..., 3], jnp.float32)
     count = tables.adj_count[gnode]  # (B,)
     slot_valid = jnp.arange(MAX_DEGREE)[None, :] < count[:, None]
-
-    nbr_next = jnp.take_along_axis(tables.adj_next[gnode], perm_safe, axis=1)
-    nbr_view = jnp.take_along_axis(tables.adj_view[gnode], perm_safe, axis=1)
-    nbr_bearing = jnp.take_along_axis(tables.adj_bearing[gnode], perm_safe, axis=1)
-    nbr_elev = jnp.take_along_axis(tables.adj_elevation[gnode], perm_safe, axis=1)
-
-    rel_heading = _canonical(
-        nbr_bearing - state.heading[:, None].astype(jnp.float32) * ANGLE_INC
-    )
     # neighbor view feature (B, MAX_DEGREE, D) — gathered directly from the
     # bank (not sliced from `pano`) so the full panorama materialization is
     # dead-code-eliminated when pano_feature is unused (Pallas fused path)
@@ -253,21 +285,16 @@ def observe_lite(tables: EnvTables, state: EnvState, goal) -> LiteObservation:
     gnode = tables.offsets[state.scan] + state.node
     view_index = state.heading + NUM_HEADINGS * state.elev
 
-    perm = jnp.take_along_axis(
-        tables.adj_perm[gnode], state.heading[:, None, None], axis=1
-    )[:, 0, :]  # (B, MAX_DEGREE)
-    perm_safe = jnp.maximum(perm, 0)
+    # one contiguous-row gather for the whole heading-sorted action list
+    # (next, view, rel_heading, rel_elevation pre-permuted/pre-rotated —
+    # see _build_packed_actions)
+    row = tables.adj_packed[gnode * NUM_HEADINGS + state.heading]  # (B, MD, 4)
+    nbr_next = row[..., 0]
+    nbr_view = row[..., 1]
+    rel_heading = jax.lax.bitcast_convert_type(row[..., 2], jnp.float32)
+    nbr_elev = jax.lax.bitcast_convert_type(row[..., 3], jnp.float32)
     count = tables.adj_count[gnode]
     slot_valid = jnp.arange(MAX_DEGREE)[None, :] < count[:, None]
-
-    nbr_next = jnp.take_along_axis(tables.adj_next[gnode], perm_safe, axis=1)
-    nbr_view = jnp.take_along_axis(tables.adj_view[gnode], perm_safe, axis=1)
-    nbr_bearing = jnp.take_along_axis(tables.adj_bearing[gnode], perm_safe, axis=1)
-    nbr_elev = jnp.take_along_axis(tables.adj_elevation[gnode], perm_safe, axis=1)
-
-    rel_heading = _canonical(
-        nbr_bearing - state.heading[:, None].astype(jnp.float32) * ANGLE_INC
-    )
     action_valid = jnp.concatenate(
         [jnp.ones_like(slot_valid[:, :1]), slot_valid], axis=1
     )
@@ -296,13 +323,9 @@ def step(tables: EnvTables, state: EnvState, action) -> EnvState:
 
     move = (action > 0) & ~state.done
     slot_ix = jnp.clip(action - 1, 0, MAX_DEGREE - 1)
-    perm = jnp.take_along_axis(
-        tables.adj_perm[gnode], state.heading[:, None, None], axis=1
-    )[:, 0, :]
-    slot = jnp.take_along_axis(perm, slot_ix[:, None], axis=1)[:, 0]
-    slot = jnp.maximum(slot, 0)
-    nxt = jnp.take_along_axis(tables.adj_next[gnode], slot[:, None], axis=1)[:, 0]
-    view = jnp.take_along_axis(tables.adj_view[gnode], slot[:, None], axis=1)[:, 0]
+    row = tables.adj_packed[gnode * NUM_HEADINGS + state.heading]  # (B, MD, 4)
+    sel = jnp.take_along_axis(row[..., :2], slot_ix[:, None, None], axis=1)[:, 0]
+    nxt, view = sel[:, 0], sel[:, 1]
 
     new_node = jnp.where(move, nxt, state.node)
     new_heading = jnp.where(move, view % NUM_HEADINGS, state.heading)

@@ -258,3 +258,31 @@ def test_observe_lite_reassembles_observe(bank, features, tables):
             u, np.asarray(obs.action_embedding), atol=1e-6
         )
         state = vecenv.step(tables, state, obs.teacher)
+
+
+def test_packed_actions_match_legacy_chain(bank, tables):
+    """adj_packed row (gnode*12+heading) == the legacy observe chain
+    (adj_perm gather -> take_along over adj_* -> canonical rotation), for
+    EVERY node and heading."""
+    packed = np.asarray(tables.adj_packed)
+    t = bank.total_nodes
+    perm_safe = np.maximum(bank.adj_perm, 0)  # (T, 12, MD)
+    for h in range(12):
+        idx = perm_safe[:, h, :]
+        nxt = np.take_along_axis(bank.adj_next, idx, axis=1)
+        view = np.take_along_axis(bank.adj_view, idx, axis=1)
+        bearing = np.take_along_axis(bank.adj_bearing, idx, axis=1)
+        elev = np.take_along_axis(bank.adj_elevation, idx, axis=1)
+        relh = bearing.astype(np.float32) - np.float32(h * ANGLE_INC)
+        relh = (relh - 2 * np.pi * np.round(relh / (2 * np.pi))).astype(
+            np.float32
+        )
+        rows = packed[np.arange(t) * 12 + h]
+        np.testing.assert_array_equal(rows[..., 0], nxt)
+        np.testing.assert_array_equal(rows[..., 1], view)
+        np.testing.assert_allclose(
+            rows[..., 2].view(np.float32), relh, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            rows[..., 3].view(np.float32), elev.astype(np.float32), atol=1e-6
+        )

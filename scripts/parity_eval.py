@@ -214,10 +214,9 @@ def main():
                 beam_size=args.beam_size, state_factored_search=True,
                 fused_search=True, physical_traversal=True,
                 speaker_weights=(0.95,),
-                # the harness world spans every train+val scan; large
-                # replay batches fault the axon backend there (see
-                # speaker_score_candidates)
-                speaker_score_batch=16,
+                # speaker scoring chunk: "auto" — the lazy replay (the
+                # default) runs clean at B=1024 on the full 90-scan world
+                # (runs/probe_forced_fault_r4.log), so no chunk-16 cap
             )
             check(
                 "pragmatic", env_name,

@@ -39,7 +39,9 @@ def _pad_pow2(m, lo=8):
     return size
 
 
-def _resolve_score_chunk(n_scans: int, n_nodes: int, m: int) -> int | None:
+def _resolve_score_chunk(
+    n_scans: int, n_nodes: int, m: int, lazy_features: bool = True,
+) -> int | None:
     """Resolve max_device_batch="auto" for speaker_score_candidates.
 
     Two competing costs, both measured on the axon tunnel (2026-08-18,
@@ -49,20 +51,24 @@ def _resolve_score_chunk(n_scans: int, n_nodes: int, m: int) -> int | None:
       of size (a 16-candidate scoring chunk measures 2.5-7.6 s), so the
       right chunk is the LARGEST safe one — chunking a 2560-candidate
       batch at 16 turns a ~10 s scoring phase into ~11 minutes.
-    * On the full 61-scan/7829-node world the axon backend faults the
-      TPU worker on forced-replay batches >= ~24 (data-independent,
-      docs/ROUND3.md), and the replay stacks (B, unroll, 36, D) f32
-      features (~3.2 GB at B=1024; >= 4096 OOMs the 16 GB chip).
+    * The MATERIALIZED replay (lazy_features=False) stacks
+      (B, unroll, 36, D) features, and that program's execution faults
+      the axon TPU worker at batch >= ~24 on worlds >= ~61 scans
+      (data-independent, docs/ROUND3.md); the boundary is empirical and
+      tight (55-scan/7,418-node world ran 1280-candidate dispatches
+      clean; 61-scan/7,829-node faults at >= ~24).  16 is its known-safe
+      chunk on fault-signature worlds.
+    * The LAZY replay (the default since round 4) never builds the
+      stacked-gather program — the encoder gathers each step's pano rows
+      inside its scan — and runs clean far past the fault point on the
+      FULL 90-scan/10,800-node world: measured B=32/64/256/1024 all
+      survive (runs/probe_forced_fault_r4.log), so it gets the same
+      chunking as small worlds: one dispatch up to 1024 candidates,
+      1024-chunks beyond (the 1024 ceiling bounds per-dispatch HBM).
 
-    So: the known-safe 16 only on worlds at least as big as the fault
-    world.  The boundary is empirical and tight: the 55-scan/7,418-node
-    sub-split val world ran 1280-candidate single dispatches repeatedly
-    without faults (round-2 beam-40 logs), the 61-scan/7,829-node full
-    val world faults at >= ~24.  Otherwise one dispatch up to 1024
-    candidates, 1024-chunks beyond.  Override per run with
-    --speaker_score_batch.
+    Override per run with --speaker_score_batch.
     """
-    if n_scans >= 58 or n_nodes >= 7600:
+    if not lazy_features and (n_scans >= 58 or n_nodes >= 7600):
         return 16
     return None if m <= 1024 else 1024
 
@@ -91,16 +97,17 @@ def speaker_score_candidates(
 
     ``max_device_batch``: dispatch the replay+scoring programs in
     fixed-shape chunks of this many candidates (compiled once, reused).
-    On the experimental axon backend the forced-replay program faults the
-    TPU worker at batch >= ~24 when the env tables span many scans
-    (61-scan world: B=16 runs, B=24 kills the worker — data-independent,
-    reproduced on zero features); 16 is the known-safe chunk.  None =
-    one dispatch (fastest over a tunnel, but the replay stacks
-    (B, unroll, 36, D) f32 features — 4096 padded candidates is ~13 GB
-    and OOMs a 16 GB chip).  "auto" (default) picks the largest safe
-    dispatch via _resolve_score_chunk: 16 only on worlds matching the
-    fault signature (>= 48 scans or >= 6000 nodes), one dispatch up to
-    1024 candidates otherwise, 1024-chunks beyond.
+    "auto" (default) picks the largest safe dispatch via
+    _resolve_score_chunk: with the lazy replay (default) one dispatch up
+    to 1024 candidates and 1024-chunks beyond, on ANY world — measured
+    clean at B=1024 on the full 90-scan world
+    (runs/probe_forced_fault_r4.log); with the materialized replay, 16
+    on worlds matching the round-3 fault signature (its stacked-gather
+    program faulted the axon worker at batch >= ~24 on >= ~61 scans,
+    docs/ROUND3.md).  None = always one dispatch (the materialized
+    replay stacks (B, unroll, 36, D) f32 features — 4096 padded
+    candidates is ~13 GB and OOMs a 16 GB chip; the lazy replay has no
+    such stack).
 
     All chunks share one batch-global unroll length, so chunking is
     value-exact vs a single dispatch (the speaker encoder follows the
@@ -126,7 +133,8 @@ def speaker_score_candidates(
 
     if max_device_batch == "auto":
         max_device_batch = _resolve_score_chunk(
-            int(tables.offsets.shape[0]), int(tables.adj_count.shape[0]), m
+            int(tables.offsets.shape[0]), int(tables.adj_count.shape[0]), m,
+            lazy_features=lazy_features,
         )
     if max_device_batch is not None and m > max_device_batch:
         unroll = unroll_of(candidates_flat)

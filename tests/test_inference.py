@@ -263,22 +263,31 @@ def test_speaker_score_candidates_chunked_matches_unchunked(world):
 
 def test_speaker_score_chunk_auto_resolution():
     """"auto" dispatch sizing: every dispatch costs seconds over the
-    tunnel, so pick the LARGEST safe chunk — 16 only on worlds matching
-    the axon fault signature (>= 48 scans / >= 6000 nodes); one
-    dispatch up to 1024 candidates otherwise; 1024-chunks beyond
-    (the replay feature stack would OOM the chip)."""
+    tunnel, so pick the LARGEST safe chunk.  The chunk-16 cap belongs to
+    the MATERIALIZED replay only (its stacked-gather program faulted the
+    axon worker at B >= ~24 on >= ~61-scan worlds, docs/ROUND3.md); the
+    lazy replay (the default) measured clean at B=32/64/256/1024 on the
+    full 90-scan world (runs/probe_forced_fault_r4.log), so it chunks
+    like small worlds everywhere: one dispatch up to 1024 candidates,
+    1024-chunks beyond (per-dispatch HBM bound)."""
     from speaker_follower_tpu.inference.rational_follower import (
         _resolve_score_chunk,
     )
 
-    assert _resolve_score_chunk(n_scans=61, n_nodes=7829, m=8) == 16
-    assert _resolve_score_chunk(n_scans=58, n_nodes=4000, m=256) == 16
-    assert _resolve_score_chunk(n_scans=10, n_nodes=7700, m=256) == 16
+    # materialized replay keeps the fault-signature cap
+    assert _resolve_score_chunk(61, 7829, m=8, lazy_features=False) == 16
+    assert _resolve_score_chunk(58, 4000, m=256, lazy_features=False) == 16
+    assert _resolve_score_chunk(10, 7700, m=256, lazy_features=False) == 16
+    assert _resolve_score_chunk(55, 7418, m=1024, lazy_features=False) is None
+    # lazy replay (default): no cap, even on the full 90-scan world
+    assert _resolve_score_chunk(90, 10800, m=1024) is None
+    assert _resolve_score_chunk(61, 7829, m=8) is None
+    assert _resolve_score_chunk(90, 10800, m=2560) == 1024
     # the 55-scan/7418-node sub-split val world: empirically safe at
     # 1280-candidate single dispatches (round-2 beam-40 logs)
-    assert _resolve_score_chunk(n_scans=55, n_nodes=7418, m=1024) is None
-    assert _resolve_score_chunk(n_scans=55, n_nodes=7418, m=2560) == 1024
-    assert _resolve_score_chunk(n_scans=5, n_nodes=500, m=2560) == 1024
+    assert _resolve_score_chunk(55, 7418, m=1024) is None
+    assert _resolve_score_chunk(55, 7418, m=2560) == 1024
+    assert _resolve_score_chunk(5, 500, m=2560) == 1024
 
 
 def test_fused_teacher_scoring_matches_step_loop(world):

@@ -128,6 +128,7 @@ def _factored_tail(
         "compute_dtype",
         "remat",
         "factored_loss",
+        "fused_tail",
     ),
 )
 def rollout(
@@ -147,6 +148,7 @@ def rollout(
     compute_dtype: str | None = None,
     remat: bool = False,
     factored_loss: bool = False,
+    fused_tail: bool = True,
 ) -> RolloutOutput:
     """Run a full batched episode.
 
@@ -216,6 +218,36 @@ def rollout(
             "use_pallas requires view-padded tables "
             "(make_env_tables(..., pad_views=True))"
         )
+
+    # Fused in-scan tail (ops/decoder_tail.py): under the factored loss,
+    # sample/argmax selection needs the per-step logits but never their
+    # gradients (the time-batched tail recomputes them), so the text
+    # attention + scoring chain runs as ONE forward Pallas launch per step
+    # on stop-gradient inputs.  The derived scoring matrices are computed
+    # HERE (outside the scan): XLA does not reliably hoist them out of the
+    # while-loop body.
+    use_fused_tail = (
+        fused_tail
+        and use_pallas
+        and factored_loss
+        and not forced
+        and feedback in ("sample", "argmax")
+    )
+    if use_fused_tail:
+        from ..ops.decoder_tail import tail_mats
+
+        # stop-gradient the derived matrices too: any kernel input with a
+        # tangent would make JAX try to linearize the (forward-only)
+        # pallas_call
+        tail_pack = jax.tree.map(
+            jax.lax.stop_gradient,
+            tail_mats(
+                params["decoder"]["text_attention"],
+                params["decoder"]["decoder2action"],
+                tables.features.shape[-1],
+            ),
+        )
+        ctx_sg = jax.lax.stop_gradient(ctx)
 
     def step_fn(carry, t):
         state, h, c, u_prev, rng = carry
@@ -305,6 +337,28 @@ def rollout(
                 rng=drop_key,
             )
             logit = log_probs = None
+        elif use_fused_tail:
+            from ..models.core import dropout as _dropout
+            from ..ops.decoder_tail import fused_tail_logits
+
+            feature = precomputed_visual[0].astype(h.dtype)
+            h1, c1 = fmodels.decoder_core(
+                params["decoder"], u_prev, feature, h, c,
+                dropout_ratio=dropout_ratio, deterministic=deterministic,
+                rng=drop_key,
+            )
+            h1d = _dropout(
+                fmodels.h1_dropout_key(drop_key), h1, dropout_ratio,
+                deterministic,
+            )
+            sg = jax.lax.stop_gradient
+            logit = fused_tail_logits(
+                sg(h1d), ctx_sg, seq_mask, sg(af16),
+                sg(sin_h), sg(cos_h), sg(sin_e), sg(cos_e),
+                obs.action_valid, tail_pack,
+                interpret=pallas_interpret,
+            )
+            logit, log_probs = _masked_log_softmax(logit, obs.action_valid)
         else:
             h1, c1, alpha, logit, alpha_v = fmodels.decoder_step(
                 params["decoder"],

@@ -314,3 +314,137 @@ def test_fused_pano_backward_matches_xla_oracle():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_tail_logits_matches_reference():
+    """ops/decoder_tail.fused_tail_logits (interpret) == the exact in-scan
+    tail it replaces: text SoftDotAttention -> eltwise_prod_scoring_split
+    -> valid masking."""
+    from speaker_follower_tpu.models.attention import (
+        eltwise_prod_scoring_init,
+        soft_dot_attention_init,
+    )
+    from speaker_follower_tpu.ops.decoder_tail import (
+        fused_tail_logits,
+        fused_tail_logits_reference,
+        tail_mats,
+    )
+
+    rng = np.random.RandomState(3)
+    b, hdim, l, d, md = 13, 64, 24, 128, 15
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    p_text = soft_dot_attention_init(k1, hdim)
+    p_score = eltwise_prod_scoring_init(k2, hdim, d + 128, dot_dim=32)
+
+    h1d = jnp.asarray(rng.randn(b, hdim).astype(np.float32) * 0.3)
+    ctx = jnp.asarray(rng.randn(b, l, hdim).astype(np.float32) * 0.3)
+    ctx_mask = jnp.asarray(rng.rand(b, l) < 0.3)
+    ctx_mask = ctx_mask.at[:, 0].set(False)  # at least one visible token
+    af = jnp.asarray(rng.randn(b, 16, d).astype(np.float32))
+    trig = [jnp.asarray(rng.randn(b, md).astype(np.float32)) for _ in range(4)]
+    valid = jnp.asarray(rng.rand(b, 16) < 0.7)
+    valid = valid.at[:, 0].set(True)  # stop always valid
+
+    ref = fused_tail_logits_reference(
+        p_text, p_score, h1d, ctx, ctx_mask, af, *trig, valid
+    )
+    got = fused_tail_logits(
+        h1d, ctx, ctx_mask, af, *trig, valid,
+        tail_mats(p_text, p_score, d), block_b=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("feedback", ["argmax", "sample"])
+def test_fused_tail_rollout_matches_unfused(feedback):
+    """Full factored pallas rollout with the fused in-scan tail ==
+    the same rollout with the XLA in-scan tail: identical trajectories
+    and (tail-recomputed) loss."""
+    from speaker_follower_tpu.agents import rollout as ra
+    from speaker_follower_tpu.data.dataset import R2RDataset, encode_batch
+    from speaker_follower_tpu.data.features import random_feature_bank
+    from speaker_follower_tpu.data.graph import load_graph_bank
+    from speaker_follower_tpu.data.text import Tokenizer, read_vocab
+    from speaker_follower_tpu.env import vecenv
+    from speaker_follower_tpu.models.follower import init_follower
+
+    vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+    ds = R2RDataset(["sub_val_seen"], tokenizer=Tokenizer(vocab=vocab),
+                    batch_size=8, seed=11)
+    keep = sorted(ds.scans)[:2]
+    ds.data = [d for d in ds.data if d["scan"] in keep]
+    bank = load_graph_bank(keep, "/root/reference/connectivity")
+    feats = random_feature_bank(bank, dim=64, seed=0)
+    tables = vecenv.make_env_tables(bank, feats, pad_views=True)
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=64 + 128, feature_size=64 + 128,
+    )
+    enc = encode_batch(ds.next_minibatch(), bank, max_instruction_length=40)
+    db = {k: jnp.asarray(enc[k]) for k in
+          ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask",
+           "seq_length"]}
+
+    kw = dict(feedback=feedback, episode_len=10, deterministic=False,
+              dropout_ratio=0.4, use_pallas=True, pallas_interpret=True,
+              factored_loss=True)
+    out_u = ra.rollout(params, tables, db, jax.random.PRNGKey(2),
+                       fused_tail=False, **kw)
+    out_f = ra.rollout(params, tables, db, jax.random.PRNGKey(2),
+                       fused_tail=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out_u.actions),
+                                  np.asarray(out_f.actions))
+    np.testing.assert_array_equal(np.asarray(out_u.nodes),
+                                  np.asarray(out_f.nodes))
+    np.testing.assert_allclose(np.asarray(out_f.loss), np.asarray(out_u.loss),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f.action_scores),
+                               np.asarray(out_u.action_scores),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_tail_rollout_grads_match_unfused():
+    """Gradients of the factored sample rollout are identical with the
+    fused selection tail (it is forward-only, stop-gradient: the backward
+    path — factored tail + LSTM chain — is untouched)."""
+    from speaker_follower_tpu.agents import rollout as ra
+    from speaker_follower_tpu.data.dataset import R2RDataset, encode_batch
+    from speaker_follower_tpu.data.features import random_feature_bank
+    from speaker_follower_tpu.data.graph import load_graph_bank
+    from speaker_follower_tpu.data.text import Tokenizer, read_vocab
+    from speaker_follower_tpu.env import vecenv
+    from speaker_follower_tpu.models.follower import init_follower
+
+    vocab = read_vocab("/root/reference/tasks/R2R/data/sub_train_vocab.txt")
+    ds = R2RDataset(["sub_val_seen"], tokenizer=Tokenizer(vocab=vocab),
+                    batch_size=4, seed=12)
+    keep = sorted(ds.scans)[:1]
+    ds.data = [d for d in ds.data if d["scan"] in keep]
+    bank = load_graph_bank(keep, "/root/reference/connectivity")
+    feats = random_feature_bank(bank, dim=32, seed=0)
+    tables = vecenv.make_env_tables(bank, feats, pad_views=True)
+    params = init_follower(
+        jax.random.PRNGKey(0), vocab_size=len(vocab), word_embedding_size=8,
+        hidden_size=16, action_embedding_size=32 + 128, feature_size=32 + 128,
+    )
+    enc = encode_batch(ds.next_minibatch(), bank, max_instruction_length=24)
+    db = {k: jnp.asarray(enc[k]) for k in
+          ["scan", "start_node", "goal_node", "heading", "seq", "seq_mask",
+           "seq_length"]}
+
+    def loss(p, fused):
+        return ra.rollout(
+            p, tables, db, jax.random.PRNGKey(3), feedback="sample",
+            episode_len=6, deterministic=False, dropout_ratio=0.3,
+            use_pallas=True, pallas_interpret=True, factored_loss=True,
+            fused_tail=fused,
+        ).loss
+
+    g_u = jax.grad(lambda p: loss(p, False))(params)
+    g_f = jax.grad(lambda p: loss(p, True))(params)
+    flat_u, _ = jax.tree.flatten(g_u)
+    flat_f, _ = jax.tree.flatten(g_f)
+    for a, b_ in zip(flat_u, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)

@@ -18,12 +18,12 @@ Overridables:
 BENCH_BATCH, BENCH_COMPUTE=f32|bf16, BENCH_REMAT=1 (activation
 rematerialization: fits bigger batches but the recompute costs more than
 the amortization buys), BENCH_SKIP_INFERENCE=1 (drops the greedy-rollout
-side phase entirely), BENCH_FULL_INFERENCE=1 (runs the rollout phase at
-the full BENCH_BATCH instead of the bounded default 1024 — opt-in: the
-large-batch remote compile is minutes over the tunnel and occasionally
-kills the worker), BENCH_TRAIN_PALLAS=0 (plain XLA pano path; since
-round 3 the fused custom-VJP kernel is the default: b2048 fwd+bwd 132 ms
-vs 213 ms after the Mosaic backward-lowering fix).
+side phase entirely), BENCH_INFERENCE_BATCH=N (overrides the inference
+phase's batch; default = BENCH_BATCH — safe since round 5 because the
+inference-mode program is much smaller than the old unfused one that
+used to kill the remote worker at b2048+), BENCH_TRAIN_PALLAS=0 (plain
+XLA pano path; since round 3 the fused custom-VJP kernel is the default:
+b2048 fwd+bwd 132 ms vs 213 ms after the Mosaic backward-lowering fix).
 Measured sweep (train eps/s): 1024/f32 6585, 1408/f32 7300, 2048/f32 OOM,
 2048/f32+remat 5764, 1024/bf16 8443, 2048/bf16 9994, 4096/bf16 OOM,
 4096/bf16+remat 8117; round 3 with the fixed pallas train path:
@@ -197,12 +197,18 @@ def main():
     use_remat = os.environ.get("BENCH_REMAT", "0") == "1"
 
     def loss_fn(p, t, b, k):
+        # EXACTLY the trainer's default configuration (trainer.py
+        # _loss_fn: factored_loss=cfg.factored_loss and cfg.use_pallas,
+        # fused_tail default-on — the round-5 on-chip A/B
+        # runs/profile_fused_tail_r5.log measured fused 102.2 ms vs
+        # unfused 105.9 ms fwd+bwd at b2048, so the winner ships as both
+        # the trainer default and the benched config)
         return rollout(
             p, t, b, k,
             feedback="sample", episode_len=EPISODE_LEN,
             deterministic=False, dropout_ratio=0.5,
             compute_dtype=compute_dtype, use_pallas=train_pallas,
-            remat=use_remat,
+            remat=use_remat, factored_loss=train_pallas,
         ).loss
 
     # tables/batch are ARGUMENTS, never closures: closed-over device arrays
@@ -286,55 +292,62 @@ def main():
     # free the train-step state before the side phases
     p1 = o1 = compiled = lowered = stepk = outs = losses = None
 
-    # ------------- greedy-rollout side metric (the round-1 metric) -------
+    # ------------- greedy-rollout side metric (production decode) --------
     # Runs AFTER the JSON so a failure here can't cost the headline.
-    # Bounded by default: batch <= 1024 with the already-built padded
-    # tables keeps the remote Pallas compile in seconds (the round-2/3
-    # worker-killer was the batch-2048/4096 inference compile).
-    # BENCH_FULL_INFERENCE=1 opts into the full-BATCH sweep;
-    # BENCH_SKIP_INFERENCE=1 drops the phase.
+    # Since round 5 this is the INFERENCE-MODE rollout (no CE/loss
+    # bookkeeping in the scan, fused in-scan tail without factored_loss —
+    # agents/rollout.py inference=True) at the full BENCH_BATCH: the
+    # round-2/3 worker-killing compile was the UNFUSED b2048+ inference
+    # program; the inference-mode program is smaller and compiles in
+    # seconds (runs/profile_fused_tail_r5.log: 42.6 ms @ b2048 = ~48k
+    # eps/s, 2.3x the train step at the same batch).  K rollouts are
+    # chained in one jitted scan, same amortization as the train phase.
+    # BENCH_INFERENCE_BATCH overrides; BENCH_SKIP_INFERENCE=1 drops it.
     if os.environ.get("BENCH_SKIP_INFERENCE", "0") != "1":
         try:
-            full = os.environ.get("BENCH_FULL_INFERENCE", "0") == "1"
-            inf_batch_size = BATCH if full else min(BATCH, 1024)
+            inf_batch_size = int(os.environ.get("BENCH_INFERENCE_BATCH", BATCH))
             inf_batch = {
                 k: v[:inf_batch_size] if v.ndim >= 1 else v
                 for k, v in batch.items()
             }
-            run = jax.jit(
-                lambda p, t, b, k: (
-                    lambda o=rollout(
-                        p, t, b, k,
+
+            def k_rollouts(p, t, b, k):
+                def one(_, kk):
+                    o = rollout(
+                        p, t, b, kk,
                         feedback="argmax", episode_len=EPISODE_LEN,
                         deterministic=True, use_pallas=train_pallas,
-                    ): (o.nodes, o.score)
-                )()
-            )
+                        compute_dtype=compute_dtype, inference=True,
+                    )
+                    return 0, (o.nodes[:, -1].sum(), o.score.sum())
+
+                _, outs = lax.scan(one, 0, jax.random.split(k, k_steps))
+                return outs
+
+            run = jax.jit(k_rollouts)
             t0 = time.time()
             nodes, score = run(params, tables_train, inf_batch, key)
             np.asarray(nodes)  # block_until_ready returns early over the tunnel
             sys.stderr.write(
-                f"[bench] rollout compile+first {time.time() - t0:.1f}s\n"
+                f"[bench] inference rollout compile+first {time.time() - t0:.1f}s\n"
             )
-            for _ in range(N_WARMUP - 1):
-                np.asarray(run(params, tables_train, inf_batch, key)[0])
-            # pipelined dispatch, then fetch EVERY result: the only honest
-            # timing through the tunnel (block_until_ready under-reports)
+            n_scans = max(1, N_ITERS // k_steps)
             t0 = time.time()
             outs = [
                 run(params, tables_train, inf_batch, jax.random.fold_in(key, i))
-                for i in range(N_ITERS)
+                for i in range(n_scans)
             ]
             for nodes, score in outs:
                 np.asarray(nodes)
                 np.asarray(score)
             dt = time.time() - t0
-            eps_per_sec = inf_batch_size * N_ITERS / dt
+            eps_per_sec = inf_batch_size * n_scans * k_steps / dt
             sys.stderr.write(
-                f"[bench] {N_ITERS} x {inf_batch_size} greedy episodes in "
+                f"[bench] {n_scans * k_steps} x {inf_batch_size} greedy episodes in "
                 f"{dt:.2f}s -> {eps_per_sec:.0f} eps/s INFERENCE (batch "
-                f"{inf_batch_size}{', pallas' if train_pallas else ''}; "
-                f"forward-only, not baseline-comparable)\n"
+                f"{inf_batch_size}{', pallas' if train_pallas else ''}, "
+                f"inference-mode rollout; {eps_per_sec / train_eps:.2f}x the "
+                f"train step at batch {BATCH})\n"
             )
             outs = nodes = score = run = None
         except Exception as e:
@@ -356,12 +369,18 @@ def main():
         s_opt = tx.init(s_params)
 
         def s_loss(p, t, b, k):
-            gold = sa.gold_rollout(t, b, episode_len=EPISODE_LEN)
+            # the SpeakerTrainer default config (trainer.py _loss_fn with
+            # cfg.use_pallas): lazy gold rollout (no (B, T, 36, D) stack),
+            # fused bank-gather encoder attention, pallas word chain
+            gold = sa.gold_rollout(
+                t, b, episode_len=EPISODE_LEN, lazy_features=train_pallas
+            )
             return sa.score_instructions(
                 p, gold, b["seq"], k, feedback="teacher",
                 instruction_len=MAX_LEN, unroll_len=EPISODE_LEN,
                 deterministic=False, dropout_ratio=0.5, use_glove=True,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, use_pallas=train_pallas,
+                tables=t if train_pallas else None,
             ).loss
 
         def s_k_steps(p, o, key, t, b):
@@ -373,14 +392,10 @@ def main():
 
             return lax.scan(one, (p, o), jax.random.split(key, k_steps))
 
-        if train_pallas:
-            # speaker gold_rollout uses the unpadded pano path.  Free the
-            # padded bank FIRST: two ~1.8 GB banks alongside activations
-            # exceed HBM.
-            tables_train = None
-            tables_s = vecenv.make_env_tables(bank, feats_bf16)
-        else:
-            tables_s = tables_train
+        # since round 5 the speaker shares the padded bank: lazy gold +
+        # the fused encoder-attention kernel read it directly (no second
+        # unpadded bank, no (B, T, 36, D) stack)
+        tables_s = tables_train
         sstep = jax.jit(s_k_steps)
         t0 = time.time()
         (sp, so), losses = sstep(s_params, s_opt, key, tables_s, batch)

@@ -110,6 +110,12 @@ def main():
                     choices=["sample", "teacher", "argmax"])
     ap.add_argument("--no_factored", action="store_true",
                     help="disable the time-batched decoder tail")
+    ap.add_argument("--no_fused_tail", action="store_true",
+                    help="disable the fused in-scan tail kernel "
+                    "(ops/decoder_tail.py) for the A/B")
+    ap.add_argument("--inference", action="store_true",
+                    help="also profile the inference-mode rollout "
+                    "(no loss bookkeeping, fused tail without factored)")
     ap.add_argument("--speaker", action="store_true",
                     help="profile the speaker train step instead")
     args = ap.parse_args()
@@ -127,10 +133,16 @@ def main():
     from speaker_follower_tpu.training.optim import adam_with_torch_wd
 
     bank, tables, batch = build_world_and_batch(batch_size, args.pallas)
-    factored = not args.no_factored
+    # factored WITHOUT pallas reproduces a documented axon TPU worker
+    # fault via the (T*B, MD)-row XLA gather in _factored_tail
+    # (docs/ROUND3.md) and is slower anyway; mirror the trainer's
+    # `cfg.factored_loss and cfg.use_pallas` guard: default factored to
+    # the --pallas flag, honor an explicit --no_factored either way.
+    factored = args.pallas and not args.no_factored
+    fused_tail = not args.no_fused_tail
     print(f"device={jax.devices()[0]} batch={batch_size} pallas={args.pallas} "
           f"compute={args.compute} feedback={args.feedback} "
-          f"factored={factored}")
+          f"factored={factored} fused_tail={fused_tail}")
 
     params = init_follower(
         jax.random.PRNGKey(0), vocab_size=992, word_embedding_size=300,
@@ -148,12 +160,28 @@ def main():
             p, t, b, k, feedback=args.feedback, episode_len=EPISODE_LEN,
             deterministic=False, dropout_ratio=0.5,
             compute_dtype=compute_dtype, use_pallas=use_pallas,
-            factored_loss=factored,
+            factored_loss=factored, fused_tail=fused_tail,
         ).loss
 
     fwd = jax.jit(loss_fn)
     timeit(f"rollout fwd ({args.feedback}, dropout)", fwd, params, tables,
            batch, key)
+
+    # ---- inference-mode rollout (production decode: no loss bookkeeping,
+    # fused tail without factored_loss, deterministic)
+    if args.inference:
+        for fb in ("argmax", "sample"):
+            def inf_fn(p, t, b, k, fb=fb):
+                out = rollout(
+                    p, t, b, k, feedback=fb, episode_len=EPISODE_LEN,
+                    deterministic=True, compute_dtype=compute_dtype,
+                    use_pallas=use_pallas, fused_tail=fused_tail,
+                    inference=True,
+                )
+                return (out.nodes.sum(), out.score.sum())
+
+            timeit(f"inference rollout ({fb})", jax.jit(inf_fn), params,
+                   tables, batch, key)
 
     # ---- full train grad (scalarized: ship one float, not 80 MB of grads)
     def vg_scalar(p, t, b, k):
@@ -281,26 +309,69 @@ def speaker_main(args):
     )
     key = jax.random.PRNGKey(1)
 
-    def make_loss(fused, pallas):
+    compute_dtype = {"f32": None, "bf16": "bfloat16"}[args.compute]
+
+    def make_loss(fused, pallas, lazy=False):
         def loss_fn(p, t, b, k):
-            gold = sa.gold_rollout(t, b, episode_len=EPISODE_LEN)
+            gold = sa.gold_rollout(
+                t, b, episode_len=EPISODE_LEN, lazy_features=lazy
+            )
             out = sa.score_instructions(
                 p, gold, b["seq"], k, feedback="teacher",
                 instruction_len=MAX_LEN, unroll_len=EPISODE_LEN,
                 deterministic=False, dropout_ratio=0.5, use_glove=True,
                 fused_teacher=fused, use_pallas=pallas,
+                compute_dtype=compute_dtype,
+                tables=t if lazy else None,
             )
             return out.loss
         return loss_fn
 
-    for name, fused, pallas in (
-        ("loop", False, False),
-        ("fused-teacher", True, False),
-        ("fused-teacher+pallas", True, args.pallas),
+    # ---- phase decomposition (the roofline story): gold rollout alone,
+    # then gold+encoder (encoder cost = difference), then the full chain
+    # (decode cost = difference)
+    from speaker_follower_tpu.models import speaker as smodels
+
+    def gold_only(t, b):
+        gold = sa.gold_rollout(t, b, episode_len=EPISODE_LEN)
+        return (gold.action_embeddings.sum(), gold.path_len.sum())
+
+    timeit("speaker gold_rollout (10 env steps)", jax.jit(gold_only),
+           tables, batch)
+
+    def cast_params(p):
+        if compute_dtype is None:
+            return p
+        cd = jnp.dtype(compute_dtype)
+        return jax.tree.map(
+            lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, p
+        )
+
+    def gold_plus_encoder(p, t, b, k):
+        gold = sa.gold_rollout(t, b, episode_len=EPISODE_LEN)
+        ctx, h, c = smodels.speaker_encoder_apply(
+            cast_params(p)["encoder"],
+            gold.action_embeddings[:, :EPISODE_LEN],
+            gold.world_features[:, :EPISODE_LEN],
+            dropout_ratio=0.5, deterministic=False, rng=k,
+        )
+        return (
+            jnp.sum(ctx.astype(jnp.float32)),
+            jnp.sum(h.astype(jnp.float32)),
+        )
+
+    timeit("speaker gold+encoder fwd", jax.jit(gold_plus_encoder),
+           params, tables, batch, key)
+
+    for name, fused, pallas, lazy in (
+        ("loop", False, False, False),
+        ("fused-teacher", True, False, False),
+        ("fused-teacher+pallas", True, args.pallas, False),
+        ("lazy-gold+kernel-enc+pallas", True, args.pallas, args.pallas),
     ):
-        if pallas and not args.pallas:
+        if (pallas or lazy) and not args.pallas:
             continue
-        loss_fn = make_loss(fused, pallas)
+        loss_fn = make_loss(fused, pallas, lazy)
         fwd = jax.jit(loss_fn)
         timeit(f"speaker fwd        [{name}]", fwd, params, tables, batch, key)
         vg = jax.jit(lambda p, t, b, k, f=loss_fn: _scalarize(

@@ -129,6 +129,7 @@ def _factored_tail(
         "remat",
         "factored_loss",
         "fused_tail",
+        "inference",
     ),
 )
 def rollout(
@@ -149,6 +150,7 @@ def rollout(
     remat: bool = False,
     factored_loss: bool = False,
     fused_tail: bool = True,
+    inference: bool = False,
 ) -> RolloutOutput:
     """Run a full batched episode.
 
@@ -183,7 +185,43 @@ def rollout(
     so the backward pass through it batches over time either way.  The h1
     dropout masks reuse the scan's per-step keys — the factored loss
     equals the unfactored one exactly (tests/test_rollout_factored.py).
+
+    ``inference=True`` is the production DECODE configuration (the
+    reference's greedy/sampled test rollout, follower.py:430-539 with no
+    backward pass): the loss, CE bookkeeping, and time-batched tail are
+    dropped entirely — per-step action log-probs come from the (B, A)
+    masked log-softmax that selection needs anyway — and the fused
+    in-scan tail kernel engages for argmax/sample under ``use_pallas``
+    without requiring ``factored_loss`` (selection never needs
+    gradients at inference).  The teacher next-hop gather dead-codes out
+    (targets are never formed).  Returns loss=0 and teacher=-1 planes;
+    trajectories/actions/scores are bit-identical to the training-path
+    rollout at the same feedback (tests/test_rollout_inference.py).
     """
+    if inference:
+        if forced or feedback not in ("argmax", "sample"):
+            raise ValueError(
+                "inference=True supports feedback in ('argmax', 'sample') "
+                "and no forced replay (forced scoring IS the loss path)"
+            )
+        factored_loss = False
+    if factored_loss and not use_pallas and jax.default_backend() != "cpu":
+        # the (T*B, MD)-row XLA two-axis gather in _factored_tail is both
+        # slower than the unfactored path (+22 ms at b2048,
+        # runs/profile_b2048_factored_r4.log) and in the program-shape
+        # class of a documented axon TPU worker fault (docs/ROUND3.md);
+        # FollowerTrainer guards this pairing (trainer.py: factored_loss
+        # and use_pallas) — warn any other TPU caller at trace time (CPU
+        # is exempt: the tests exercise this pairing safely there).
+        import warnings
+
+        warnings.warn(
+            "rollout(factored_loss=True, use_pallas=False) materializes a "
+            "(T, B, MAX_DEGREE, D) gather: slower than unfactored and a "
+            "known TPU-worker-fault program shape; pass use_pallas=True "
+            "(production) or factored_loss=False",
+            stacklevel=2,
+        )
     if compute_dtype is not None:
         cd = jnp.dtype(compute_dtype)
         params = jax.tree.map(
@@ -229,7 +267,7 @@ def rollout(
     use_fused_tail = (
         fused_tail
         and use_pallas
-        and factored_loss
+        and (factored_loss or inference)
         and not forced
         and feedback in ("sample", "argmax")
     )
@@ -391,6 +429,13 @@ def rollout(
             target = jnp.where(in_range, forced_actions[:, t], -1)
             a_t = jnp.maximum(target, 0)
             live = in_range
+        elif inference:
+            # never touch obs.teacher: the next-hop gather dead-codes out
+            target = jnp.full_like(state.node, -1)
+            a_t = _select_action(
+                feedback, logit, log_probs, target, obs.action_valid, sample_key
+            )
+            live = ~ended
         else:
             target = jnp.where(ended, -1, obs.teacher)
             a_t = _select_action(
@@ -401,6 +446,9 @@ def rollout(
         if factored_loss:
             loss_t = jnp.zeros((), jnp.float32)  # tail computes the loss
             a_score = jnp.zeros_like(target, jnp.float32)
+        elif inference:
+            loss_t = jnp.zeros((), jnp.float32)
+            a_score = jnp.take_along_axis(log_probs, a_t[:, None], axis=1)[:, 0]
         else:
             # per-step CE, mean over non-ignored episodes (torch
             # CrossEntropyLoss with ignore_index=-1)

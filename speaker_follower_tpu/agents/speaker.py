@@ -48,11 +48,63 @@ class GoldTrajectories(NamedTuple):
     view_index: jnp.ndarray | None = None  # (B, T) viewIndex BEFORE each step
 
 
-@partial(jax.jit, static_argnames=("episode_len",))
-def gold_rollout(tables: vecenv.EnvTables, batch, *, episode_len: int = 10):
-    """Collect teacher trajectories + their observation tensors on device."""
+@partial(jax.jit, static_argnames=("episode_len", "lazy_features"))
+def gold_rollout(tables: vecenv.EnvTables, batch, *, episode_len: int = 10,
+                 lazy_features: bool = False):
+    """Collect teacher trajectories + their observation tensors on device.
+
+    ``lazy_features=True`` (same contract as forced_rollout): return
+    world_features=None plus per-step (gnode, view_index) identity planes
+    — the chosen-action embedding comes from ONE bank-row gather per
+    step, and the (B, T, 36, D) panorama stack (3.2 GB at b2048
+    full-dim) never materializes; the encoder gathers — or, with
+    use_pallas, DMAs inside the fused attention kernel — one step at a
+    time.  Value-exact vs the materialized path (tests/test_speaker_lazy.py).
+    Round-5 roofline: the materialized gold rollout alone was 38 ms of
+    the 154 ms speaker train step at b2048
+    (runs/profile_speaker_b2048_r5.log)."""
     state = vecenv.reset(batch["scan"], batch["start_node"], batch["heading"])
     goal = batch["goal_node"]
+
+    if lazy_features:
+        feat_dtype = tables.features.dtype
+
+        def lazy_step_fn(state, _):
+            obs = vecenv.observe_lite(tables, state, goal)
+            live = ~state.done
+            a = jnp.where(live, obs.teacher, 0)
+            gnode = tables.offsets[state.scan] + state.node
+            slot = jnp.clip(a - 1, 0, obs.nbr_view.shape[1] - 1)
+            view_sel = jnp.take_along_axis(obs.nbr_view, slot[:, None], 1)[:, 0]
+            rh = jnp.take_along_axis(obs.rel_heading, slot[:, None], 1)[:, 0]
+            re = jnp.take_along_axis(obs.rel_elevation, slot[:, None], 1)[:, 0]
+            feat_row = tables.features[gnode, jnp.maximum(view_sel, 0)]
+            a_emb = jnp.concatenate(
+                [feat_row, vecenv._angle_embedding(rh, re).astype(feat_dtype)],
+                axis=-1,
+            )
+            # stop (a == 0) has the all-zero embedding (env.py:60-66)
+            a_emb = jnp.where((live & (a > 0))[:, None], a_emb, 0.0)
+            new_state = vecenv.step(tables, state, a)
+            return new_state, (
+                a_emb, gnode, obs.view_index, a, new_state.node, live
+            )
+
+        _, (a_embs, gnodes, views, actions, nodes, live) = jax.lax.scan(
+            lazy_step_fn, state, None, length=episode_len
+        )
+        to_bt = lambda x: jnp.swapaxes(x, 0, 1)
+        live = to_bt(live)
+        return GoldTrajectories(
+            action_embeddings=to_bt(a_embs),
+            world_features=None,
+            actions=to_bt(actions),
+            nodes=to_bt(nodes),
+            path_mask=~live,
+            path_len=live.sum(axis=1).astype(jnp.int32),
+            gnode=to_bt(gnodes),
+            view_index=to_bt(views),
+        )
 
     def step_fn(state, _):
         obs = vecenv.observe(tables, state, goal)
@@ -158,8 +210,10 @@ def score_instructions(
     b = gold.path_len.shape[0]
     rng, enc_key = jax.random.split(rng)
     if gold.world_features is None:
-        # lazy features (forced_rollout lazy_features=True): the encoder
-        # gathers each step's panorama from ``tables`` inside its scan
+        # lazy features (gold_rollout / forced_rollout lazy_features=True):
+        # the encoder gathers each step's panorama from ``tables`` inside
+        # its scan — or, under use_pallas, fuses the gather with the
+        # visual attention (ops/pano_attention.pano_attention)
         assert tables is not None, "lazy GoldTrajectories need tables"
         ctx, h_t, c_t = smodels.speaker_encoder_apply(
             params["encoder"],
@@ -173,6 +227,8 @@ def score_instructions(
             gnode=gold.gnode[:, :unroll_len],
             view_index=gold.view_index[:, :unroll_len],
             live=~gold.path_mask[:, :unroll_len],
+            use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
         )
     else:
         ctx, h_t, c_t = smodels.speaker_encoder_apply(

@@ -41,6 +41,12 @@ def make_arg_parser():
     parser.add_argument("--use_test_set", action="store_true",
                         help="also track metrics on the test split")
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume a killed run from the "
+                        "{prefix}_trainstate checkpoint (full state: "
+                        "params, Adam moments, RNG, dataset iterator, "
+                        "phase) — the continued validation trajectory is "
+                        "bit-identical to the unkilled run")
     return parser
 
 
@@ -93,16 +99,59 @@ def train_setup(args):
 
 
 def train_val(args):
+    import os
+
     trainer, datasets, train_splits = train_setup(args)
+    cfg = trainer.cfg
+    state_path = (
+        None if cfg.no_save
+        else os.path.join(cfg.snapshot_dir, cfg.model_prefix + "_trainstate")
+    )
+
+    start_phase, start_iter, extra = None, 0, None
+    if getattr(args, "resume", False) and state_path and os.path.exists(state_path):
+        from ..training import checkpoint as ckpt
+
+        # peek at the phase BEFORE applying: the saved dataset-iterator
+        # state belongs to whichever dataset that phase was training on
+        state = ckpt.load_state(state_path)
+        start_phase = state.get("phase", "main")
+        if start_phase == "pretrain":
+            trainer.train_ds = datasets["__pretrain__"]
+        start_iter = trainer.load_training_state(state_path, state=state)
+        extra = trainer.resume_extra
+        print(
+            "resumed from %s: phase=%s iteration=%d"
+            % (state_path, start_phase, start_iter)
+        )
+
     if args.use_pretraining:
         # two-phase: pretrain on the augmented split(s), then finetune
         # (train.py:256-275)
         assert args.pretrain_splits, "must specify at least one pretrain split"
-        original = trainer.train_ds
-        trainer.train_ds = datasets["__pretrain__"]
-        trainer.train(args.n_pretrain_iters)
-        trainer.train_ds = original
-    trainer.train(args.n_iters)
+        in_pretrain = start_phase == "pretrain" and start_iter < args.n_pretrain_iters
+        if start_phase is None or in_pretrain:
+            original = datasets[train_splits[0]]
+            trainer.train_ds = datasets["__pretrain__"]
+            trainer.train(
+                args.n_pretrain_iters,
+                start_iter=start_iter if in_pretrain else 0,
+                state_path=state_path, phase="pretrain",
+                resume_extra=extra if in_pretrain else None,
+            )
+            trainer.train_ds = original
+            start_phase, start_iter, extra = None, 0, None
+        elif start_phase == "pretrain":
+            # killed exactly at the pretrain/finetune boundary
+            trainer.train_ds = datasets[train_splits[0]]
+            start_phase, start_iter, extra = None, 0, None
+    in_main = start_phase == "main"
+    trainer.train(
+        args.n_iters,
+        start_iter=start_iter if in_main else 0,
+        state_path=state_path, phase="main",
+        resume_extra=extra if in_main else None,
+    )
 
 
 if __name__ == "__main__":

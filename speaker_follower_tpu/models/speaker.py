@@ -63,6 +63,8 @@ def speaker_encoder_apply(
     gnode=None,  # (B, T) int32 — lazy mode (world_features None)
     view_index=None,  # (B, T) int32
     live=None,  # (B, T) bool — steps whose panorama is real (not padding)
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Returns (ctx (B, T, H), decoder_h0 (B, H), c (B, H)).
 
@@ -84,8 +86,13 @@ def speaker_encoder_apply(
     """
     b, t, _ = action_embeddings.shape
     hidden = p["lstm"]["w_hh"].shape[-1]
-    h0 = jnp.zeros((b, hidden), action_embeddings.dtype)
-    c0 = jnp.zeros((b, hidden), action_embeddings.dtype)
+    # carry dtype must match the cell OUTPUT dtype: f32 params over bf16
+    # inputs promote to f32 (mixed precision casts params instead)
+    carry_dtype = jnp.result_type(
+        p["lstm"]["w_hh"].dtype, action_embeddings.dtype
+    )
+    h0 = jnp.zeros((b, hidden), carry_dtype)
+    c0 = jnp.zeros((b, hidden), carry_dtype)
 
     if rng is not None:
         step_keys = jax.random.split(rng, t)
@@ -97,18 +104,56 @@ def speaker_encoder_apply(
         assert tables is not None and gnode is not None
         feat_dtype = tables.features.dtype
         num_views = 36
+    if use_pallas:
+        assert lazy, "the fused attention kernel needs lazy (bank) features"
+        assert tables.features.shape[1] == 40, (
+            "use_pallas requires view-padded tables "
+            "(make_env_tables(..., pad_views=True))"
+        )
 
     def step(carry, inp):
         h, c = carry
-        if lazy:
+        if use_pallas:
+            # fused gather + visual attention (ops/pano_attention.py, the
+            # follower decoder's kernel — same math: the speaker encoder's
+            # per-step attention IS VisualSoftDotAttention over the
+            # current panorama, model.py:437-457): the (B, 36, D) slice
+            # never exists in HBM; one DMA pass per block feeds the
+            # attention logits, softmax, and weighted sum in VMEM.
+            from ..ops.pano_attention import pano_attention
+
             a_emb, g_t, v_t, live_t, k, t_ix = inp
-            pano = tables.features[g_t][:, :num_views]  # (B, 36, D)
-            loc = tables.loc_embed[v_t].astype(feat_dtype)
-            w_feat = jnp.concatenate([pano, loc], axis=-1)
-            w_feat = jnp.where(live_t[:, None, None], w_feat, 0.0)
+            p_v = p["visual_attention"]
+            t_proj = linear(p_v["linear_in_h"], h)  # (B, dot)
+            w_v = p_v["linear_in_v"]["w"]
+            d_feat = tables.features.shape[-1]
+            weighted, _ = pano_attention(
+                tables.features,
+                tables.loc_embed,
+                g_t,
+                v_t,
+                t_proj @ w_v[:, :d_feat],
+                t_proj @ w_v[:, d_feat:],
+                t_proj @ p_v["linear_in_v"]["b"],
+                None,
+                pallas_interpret,
+            )
+            # the materialized path zeroes the padded-step PANORAMA before
+            # the attention; zeroing the weighted OUTPUT is value-equal
+            # for the feature (softmax over zeros -> weighted sum of zeros)
+            feature = jnp.where(
+                live_t[:, None], weighted.astype(h.dtype), 0.0
+            )
         else:
-            a_emb, w_feat, k, t_ix = inp
-        feature, _ = attn.visual_soft_dot(p["visual_attention"], h, w_feat)
+            if lazy:
+                a_emb, g_t, v_t, live_t, k, t_ix = inp
+                pano = tables.features[g_t][:, :num_views]  # (B, 36, D)
+                loc = tables.loc_embed[v_t].astype(feat_dtype)
+                w_feat = jnp.concatenate([pano, loc], axis=-1)
+                w_feat = jnp.where(live_t[:, None, None], w_feat, 0.0)
+            else:
+                a_emb, w_feat, k, t_ix = inp
+            feature, _ = attn.visual_soft_dot(p["visual_attention"], h, w_feat)
         concat_input = jnp.concatenate([a_emb, feature], axis=-1)
         if rng is not None:
             concat_input = dropout(k, concat_input, dropout_ratio, deterministic)

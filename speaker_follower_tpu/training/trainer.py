@@ -148,20 +148,22 @@ class FollowerTrainer:
         # the partial-jitted rollout pay ~28ms host dispatch per call
         self._eval_rollouts = {}
 
-    def _eval_rollout(self, feedback):
-        if feedback not in self._eval_rollouts:
+    def _eval_rollout(self, feedback, inference=False):
+        key = (feedback, inference)
+        if key not in self._eval_rollouts:
             cfg = self.cfg
 
-            self._eval_rollouts[feedback] = jax.jit(
+            self._eval_rollouts[key] = jax.jit(
                 lambda p, t, b, r: ra.rollout(
                     p, t, b, r,
                     feedback=feedback, episode_len=cfg.episode_len,
                     deterministic=True, use_glove=cfg.use_glove,
                     use_pallas=cfg.use_pallas,
                     pallas_interpret=cfg.pallas_interpret,
+                    inference=inference,
                 )
             )
-        return self._eval_rollouts[feedback]
+        return self._eval_rollouts[key]
 
     def _maybe_shard(self, batch):
         if self.mesh is None:
@@ -323,7 +325,10 @@ class FollowerTrainer:
         idx = epoch_index_matrix(ds, store)
         self.rng, key = jax.random.split(self.rng)
         keys = jax.random.split(key, idx.shape[0])
-        out = self._get_eval_epoch_fn(feedback)(
+        # pure decoding (no loss requested) runs the inference-mode
+        # rollout: no CE bookkeeping, fused in-scan tail under pallas
+        inference = not collect_loss and feedback in ("argmax", "sample")
+        out = self._get_eval_epoch_fn(feedback, inference)(
             self.params, self.tables, store.arrays, jnp.asarray(idx), keys
         )
         out = jax.tree.map(np.asarray, out)  # one bulk host transfer
@@ -349,10 +354,10 @@ class FollowerTrainer:
                     results[traj["instr_id"]] = traj
         return results, losses
 
-    def _get_eval_epoch_fn(self, feedback):
+    def _get_eval_epoch_fn(self, feedback, inference=False):
         """Jitted full-epoch eval: lax.scan of the rollout over an (M, B)
-        row-index matrix (compiles once per (feedback, M, B))."""
-        key = ("epoch", feedback)
+        row-index matrix (compiles once per (feedback, inference, M, B))."""
+        key = ("epoch", feedback, inference)
         if key not in self._eval_rollouts:
             cfg = self.cfg
             mesh = self.mesh
@@ -377,6 +382,7 @@ class FollowerTrainer:
                         deterministic=True, use_glove=cfg.use_glove,
                         use_pallas=cfg.use_pallas,
                         pallas_interpret=cfg.pallas_interpret,
+                        inference=inference,
                     )
                     return 0, out
 
@@ -398,7 +404,8 @@ class FollowerTrainer:
                 max_instruction_length=self.cfg.max_instruction_length,
             )
             self.rng, step_rng = jax.random.split(self.rng)
-            out = self._eval_rollout(feedback)(
+            inference = not collect_loss and feedback in ("argmax", "sample")
+            out = self._eval_rollout(feedback, inference)(
                 self.params, self.tables,
                 self._maybe_shard(_device_batch(enc)), step_rng,
             )
@@ -411,17 +418,30 @@ class FollowerTrainer:
                     results[traj["instr_id"]] = traj
         return results, losses
 
-    def train(self, n_iters: int, log_every: int | None = None):
+    def train(self, n_iters: int, log_every: int | None = None, *,
+              start_iter: int = 0, state_path: str | None = None,
+              phase: str = "main", resume_extra: dict | None = None):
         """Full training loop with periodic validation + best-ckpt tracking
-        (train.py:68-166)."""
+        (train.py:68-166).
+
+        Resumable, unlike the reference (follower.py:1032 'Loads
+        parameters (but not training state)'): with ``state_path`` the
+        full training state — params, Adam moments, RNG, dataset
+        iterator, logs, best-metric table — is checkpointed atomically
+        every ``cfg.save_every`` iters; a killed run restarted with
+        ``start_iter``/``resume_extra`` from :meth:`load_training_state`
+        reproduces the unkilled run's validation trajectory bit-for-bit
+        (tests/test_training.py::test_kill_resume_bit_identical)."""
         cfg = self.cfg
         log_every = log_every or cfg.log_every
-        start = time.time()
-        best_metrics = {}
-        last_model_saved = {}  # (env, metric) -> path; old best deleted
+        resume_extra = resume_extra or {}
+        start = time.time() - float(resume_extra.get("elapsed_s", 0.0))
+        best_metrics = dict(resume_extra.get("best_metrics", {}))
+        # (env, metric) -> path; old best deleted
+        last_model_saved = dict(resume_extra.get("last_model_saved", {}))
         split_string = "-".join(self.train_ds.splits)
 
-        for idx in range(0, n_iters, log_every):
+        for idx in range(start_iter, n_iters, log_every):
             interval = min(log_every, n_iters - idx)
             it = idx + interval
             self.data_log["iteration"].append(it)
@@ -486,26 +506,52 @@ class FollowerTrainer:
                         self.params,
                     )
                 self._write_csv(split_string)
+            if state_path is not None and cfg.save_every and (
+                it % cfg.save_every == 0 or it >= n_iters
+            ):
+                self.save_training_state(
+                    state_path, iteration=it,
+                    extra={
+                        "phase": phase,
+                        "n_iters": n_iters,
+                        "elapsed_s": time.time() - start,
+                        "best_metrics": best_metrics,
+                        "last_model_saved": last_model_saved,
+                    },
+                )
         return best_metrics
 
-    def save_training_state(self, path: str, iteration: int = 0):
+    def save_training_state(self, path: str, iteration: int = 0,
+                            extra: dict | None = None):
         """Full resumable state — params, optimizer moments, RNG, logs —
         unlike the reference's weights-only snapshots (follower.py:1032
-        'Loads parameters (but not training state)')."""
-        ckpt.save_state(
-            path,
-            {
-                "params": self.params,
-                "opt_state": self.opt_state,
-                "rng": self.rng,
-                "iteration": iteration,
-                "data_log": dict(self.data_log),
-                "dataset_state": self.train_ds.get_state(),
-            },
-        )
+        'Loads parameters (but not training state)').  Written atomically
+        (tmp + rename): a kill mid-save never corrupts the resume point."""
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "rng": self.rng,
+            "iteration": iteration,
+            "data_log": dict(self.data_log),
+            "dataset_state": self.train_ds.get_state(),
+        }
+        if extra:
+            state.update(extra)
+        tmp = path + ".tmp"
+        ckpt.save_state(tmp, state)
+        os.replace(tmp, path)
 
-    def load_training_state(self, path: str) -> int:
-        state = ckpt.load_state(path)
+    def load_training_state(self, path: str, state=None) -> int:
+        """Restore from :meth:`save_training_state`.  Extra entries
+        (phase, best_metrics, ...) land in ``self.resume_extra`` for the
+        caller to thread back into :meth:`train`.  ``state`` lets a caller
+        that already parsed the file (e.g. to peek at the phase and swap
+        train_ds first) skip the second read."""
+        if state is None:
+            state = ckpt.load_state(path)
+        core = ("params", "opt_state", "rng", "iteration", "data_log",
+                "dataset_state")
+        self.resume_extra = {k: v for k, v in state.items() if k not in core}
         self.params = jax.tree.map(jnp.asarray, state["params"])
         # npz checkpoints store optax NamedTuple states as plain tuples;
         # rebuild the containers against a fresh skeleton
@@ -580,13 +626,16 @@ class SpeakerTrainer:
             cfg = self.cfg
 
             self._eval_fns[key] = jax.jit(
-                lambda p, g, seq, r: sa.score_instructions(
+                lambda p, g, seq, r, t: sa.score_instructions(
                     p, g, seq, r,
                     feedback=feedback,
                     instruction_len=cfg.max_instruction_length,
                     unroll_len=unroll_len,
                     deterministic=True,
                     use_glove=cfg.use_glove,
+                    use_pallas=cfg.use_pallas,
+                    pallas_interpret=cfg.pallas_interpret,
+                    tables=t,
                 )
             )
         return self._eval_fns[key]
@@ -600,10 +649,11 @@ class SpeakerTrainer:
         return enc
 
     def _loss_fn(self, params, gold, instr_seq, unroll_len, rng,
-                 encoder_valid_len=None):
+                 encoder_valid_len=None, tables=None):
         cfg = self.cfg
-        # use_pallas drives the fused-teacher word chain (ops/lstm.py);
-        # the follower's pano-attention kernel does not apply here
+        # use_pallas drives the fused-teacher word chain (ops/lstm.py) AND
+        # — with lazy gold trajectories — the fused bank-gather visual
+        # attention in the trajectory encoder (ops/pano_attention.py)
         out = sa.score_instructions(
             params, gold, instr_seq, rng,
             feedback="teacher",
@@ -617,16 +667,21 @@ class SpeakerTrainer:
             encoder_valid_len=encoder_valid_len,
             use_pallas=cfg.use_pallas,
             pallas_interpret=cfg.pallas_interpret,
+            tables=tables,
         )
         return out.loss
 
     def _build_step_fn(self):
         from functools import partial
 
+        # tables is an ARGUMENT (never a closure: closed-over device
+        # arrays bake into the executable as constants); only consumed
+        # when gold is lazy (cfg.use_pallas)
         @partial(jax.jit, static_argnames=("unroll_len",))
-        def step(params, opt_state, gold, instr_seq, rng, unroll_len):
+        def step(params, opt_state, gold, instr_seq, rng, tables,
+                 unroll_len):
             loss, grads = jax.value_and_grad(self._loss_fn)(
-                params, gold, instr_seq, unroll_len, rng
+                params, gold, instr_seq, unroll_len, rng, None, tables
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -679,7 +734,8 @@ class SpeakerTrainer:
                             for name, v in batch.items()
                         }
                     gold = sa.gold_rollout(
-                        tables, batch, episode_len=cfg.episode_len
+                        tables, batch, episode_len=cfg.episode_len,
+                        lazy_features=cfg.use_pallas,
                     )
                     # traced batch-max path length reproduces the host
                     # path's shrink-wrapped unroll (reference batch-max
@@ -687,6 +743,7 @@ class SpeakerTrainer:
                     loss, grads = jax.value_and_grad(self._loss_fn)(
                         p, gold, batch["seq"], cfg.episode_len, k,
                         gold.path_len.max(),
+                        tables if cfg.use_pallas else None,
                     )
                     updates, o = tx.update(grads, o, p)
                     p = jax.tree.map(lambda a, u: a + u, p, updates)
@@ -712,7 +769,8 @@ class SpeakerTrainer:
             db = pm.shard_batch(self.mesh, db)
             seq = jax.device_put(seq, pm.data_sharded(self.mesh))
         gold = sa.gold_rollout(
-            self.tables, db, episode_len=self.cfg.episode_len
+            self.tables, db, episode_len=self.cfg.episode_len,
+            lazy_features=self.cfg.use_pallas,
         )
         unroll_len = int(np.asarray(gold.path_len).max())
         return gold, seq, unroll_len
@@ -744,6 +802,7 @@ class SpeakerTrainer:
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss = self._step_fn(
                 self.params, self.opt_state, gold, instr_seq, step_rng,
+                self.tables if self.cfg.use_pallas else None,
                 unroll_len=unroll_len,
             )
             losses.append(float(loss))
@@ -812,7 +871,8 @@ class SpeakerTrainer:
                             for name, v in batch.items()
                         }
                     gold = sa.gold_rollout(
-                        tables, batch, episode_len=cfg.episode_len
+                        tables, batch, episode_len=cfg.episode_len,
+                        lazy_features=cfg.use_pallas,
                     )
                     out = sa.score_instructions(
                         params, gold, batch["seq"], k,
@@ -822,6 +882,9 @@ class SpeakerTrainer:
                         deterministic=True,
                         use_glove=cfg.use_glove,
                         encoder_valid_len=gold.path_len.max(),
+                        use_pallas=cfg.use_pallas,
+                        pallas_interpret=cfg.pallas_interpret,
+                        tables=tables if cfg.use_pallas else None,
                     )
                     return 0, out
 
@@ -842,7 +905,8 @@ class SpeakerTrainer:
             gold, instr_seq, unroll_len = self._gold_and_instr(enc)
             self.rng, step_rng = jax.random.split(self.rng)
             out = self._eval_fn(feedback, unroll_len)(
-                self.params, gold, instr_seq, step_rng
+                self.params, gold, instr_seq, step_rng,
+                self.tables if self.cfg.use_pallas else None,
             )
             if collect_loss:
                 losses.append(float(out.loss))

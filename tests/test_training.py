@@ -164,6 +164,67 @@ def test_full_state_checkpoint_resume(world, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
+def test_kill_resume_bit_identical(world, tmp_path):
+    """A run killed mid-training and resumed from the trainstate
+    checkpoint must reproduce the unkilled run's validation trajectory
+    bit-for-bit: same data_log (train losses, val losses, success rates)
+    and same final params.  This is the semantics the reference cannot
+    offer (follower.py:1032 saves weights only)."""
+    from speaker_follower_tpu.evaluation.follower_eval import Evaluation
+
+    vocab, tok, ds, bank, tables = world
+    keep = set(bank.scan_ids)
+
+    def make_trainer():
+        params = init_follower(
+            jax.random.PRNGKey(0), vocab_size=len(vocab),
+            word_embedding_size=16, hidden_size=32,
+            action_embedding_size=FEAT_DIM + 128, feature_size=FEAT_DIM + 128,
+        )
+        cfg = TrainConfig(feedback="teacher", use_glove=False, no_save=True,
+                          log_every=2, save_every=2)
+        d = R2RDataset(["sub_val_seen"], tokenizer=tok, batch_size=8, seed=10)
+        d.data = [x for x in d.data if x["scan"] in keep]
+        vd = R2RDataset(["sub_val_seen"], tokenizer=tok, batch_size=8, seed=11)
+        vd.data = [x for x in vd.data if x["scan"] in keep]
+        ev = Evaluation(["sub_val_seen"], bank)
+        ev.gt = {k: v for k, v in ev.gt.items() if v["scan"] in keep}
+        ev.instr_ids = {
+            i for i in ev.instr_ids if int(i.split("_")[0]) in ev.gt
+        }
+        val_envs = {"val": (vd, ev)}
+        return FollowerTrainer(params, tables, d, bank, cfg,
+                               val_envs=val_envs, rng=jax.random.PRNGKey(7))
+
+    # control: 4 intervals straight through
+    t_a = make_trainer()
+    t_a.train(8, log_every=2)
+
+    # killed at iteration 4 (state checkpointed there), then resumed
+    path = str(tmp_path / "trainstate")
+    t_b = make_trainer()
+    t_b.train(4, log_every=2, state_path=path, phase="main")
+    del t_b
+
+    t_c = make_trainer()
+    start = t_c.load_training_state(path)
+    assert start == 4
+    assert t_c.resume_extra["phase"] == "main"
+    t_c.train(8, log_every=2, start_iter=start, state_path=path,
+              phase="main", resume_extra=t_c.resume_extra)
+
+    assert set(t_a.data_log) == set(t_c.data_log)
+    for k in t_a.data_log:
+        np.testing.assert_array_equal(
+            np.asarray(t_a.data_log[k]), np.asarray(t_c.data_log[k]),
+            err_msg=f"data_log[{k!r}] diverged after resume",
+        )
+    for x, y in zip(jax.tree_util.tree_leaves(t_a.params),
+                    jax.tree_util.tree_leaves(t_c.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_load_glove_word_maps_sub_vocab():
     """Sub-vocab GloVe rows are word-mapped from the full-vocab matrix
     (every sub-vocab word exists in train_vocab, so rows match exactly)."""

@@ -553,12 +553,37 @@ class FollowerTrainer:
                 "dataset_state")
         self.resume_extra = {k: v for k, v in state.items() if k not in core}
         self.params = jax.tree.map(jnp.asarray, state["params"])
+        if self.mesh is not None:
+            # checkpoints store gathered host arrays; re-place them with
+            # the same layout __init__ chose (column-sharded over "model"
+            # on a 2-D mesh, replicated on a 1-D data mesh) so a resumed
+            # sharded run continues exactly where the killed one stopped
+            # (tests/test_parallel.py::test_mesh_train_save_resume_validate)
+            from ..parallel import mesh as pm
+
+            self.params = pm.shard_params(self.mesh, self.params)
         # npz checkpoints store optax NamedTuple states as plain tuples;
         # rebuild the containers against a fresh skeleton
-        self.opt_state = jax.tree.map(
-            jnp.asarray,
-            ckpt.restructure_like(self.tx.init(self.params), state["opt_state"]),
-        )
+        if self.mesh is not None:
+            # re-place the restored host values with the same rule that
+            # sharded the params: Adam moments mirror the param shapes so
+            # shard_params gives them byte-identical specs, and scalars
+            # (optax's step count) replicate over the mesh — every leaf
+            # committed to the mesh's device set, so the compiled interval
+            # fn sees a consistent assembly
+            from ..parallel import mesh as pm
+
+            self.opt_state = pm.shard_params(
+                self.mesh,
+                ckpt.restructure_like(self.tx.init(self.params),
+                                      state["opt_state"]),
+            )
+        else:
+            self.opt_state = jax.tree.map(
+                jnp.asarray,
+                ckpt.restructure_like(self.tx.init(self.params),
+                                      state["opt_state"]),
+            )
         self.rng = jnp.asarray(state["rng"])
         self.data_log = defaultdict(list, state["data_log"])
         if "dataset_state" in state:

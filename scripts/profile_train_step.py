@@ -339,6 +339,16 @@ def speaker_main(args):
     timeit("speaker gold_rollout (10 env steps)", jax.jit(gold_only),
            tables, batch)
 
+    if args.pallas:
+        def gold_only_lazy(t, b):
+            gold = sa.gold_rollout(
+                t, b, episode_len=EPISODE_LEN, lazy_features=True
+            )
+            return (gold.action_embeddings.sum(), gold.path_len.sum())
+
+        timeit("speaker gold_rollout lazy (10 env steps)",
+               jax.jit(gold_only_lazy), tables, batch)
+
     def cast_params(p):
         if compute_dtype is None:
             return p
@@ -362,6 +372,30 @@ def speaker_main(args):
 
     timeit("speaker gold+encoder fwd", jax.jit(gold_plus_encoder),
            params, tables, batch, key)
+
+    if args.pallas:
+        def gold_plus_encoder_lazy(p, t, b, k):
+            gold = sa.gold_rollout(
+                t, b, episode_len=EPISODE_LEN, lazy_features=True
+            )
+            ctx, h, c = smodels.speaker_encoder_apply(
+                cast_params(p)["encoder"],
+                gold.action_embeddings[:, :EPISODE_LEN],
+                None,
+                dropout_ratio=0.5, deterministic=False, rng=k,
+                tables=t,
+                gnode=gold.gnode[:, :EPISODE_LEN],
+                view_index=gold.view_index[:, :EPISODE_LEN],
+                live=~gold.path_mask[:, :EPISODE_LEN],
+                use_pallas=True,
+            )
+            return (
+                jnp.sum(ctx.astype(jnp.float32)),
+                jnp.sum(h.astype(jnp.float32)),
+            )
+
+        timeit("speaker gold+encoder fwd [lazy+kernel]",
+               jax.jit(gold_plus_encoder_lazy), params, tables, batch, key)
 
     for name, fused, pallas, lazy in (
         ("loop", False, False, False),

@@ -57,12 +57,10 @@ def make_arg_parser():
         "inference.rational_follower._resolve_score_chunk)",
     )
     parser.add_argument("--physical_traversal", action="store_true")
-    parser.add_argument(
-        "--data_parallel", action="store_true",
-        help="shard every search/scoring dispatch over a data mesh of all "
-        "visible devices (requires --fused_search); params/tables are "
-        "replicated, per-instance arrays split over the mesh",
-    )
+    # --data_parallel comes from common.add_common_args; here it means:
+    # shard every search/scoring dispatch over a data mesh of all visible
+    # devices (requires --fused_search); params/tables replicated,
+    # per-instance arrays split over the mesh.
     parser.add_argument("--output_file")
     parser.add_argument("--eval_file")
     parser.add_argument(

@@ -734,6 +734,57 @@ def _resolve_first_pass(first_pass_rounds, completion_size, episode_len, max_rou
     return min(max_rounds, int(first_pass_rounds))
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _pack_outputs(st, r_pad):
+    """Flatten every host-bound output table into ONE int32 buffer.
+
+    The tunneled backend charges a round-trip per fetched buffer (3 ms
+    floor, hundreds of ms when the tunnel is loaded), and the result
+    assembly needs ~12 arrays — measured 2.7x slower fetched separately
+    than as one packed transfer of the same bytes.  f32 planes travel
+    bitcast to int32 (exact), bools widen to int32 (the packed buffer is
+    ~3 MB at beam-40/B=64; bit-packing the two bool planes would save
+    <5% for extra unpack cost).  Host side: `_unpack_outputs`.
+    """
+    def as_i32(x):
+        if x.dtype == jnp.float32:
+            return jax.lax.bitcast_convert_type(x, jnp.int32).ravel()
+        return x.astype(jnp.int32).ravel()
+
+    parts = [
+        st.comp_in_use, st.comp_score, st.comp_steps,
+        st.comp_tpos, st.comp_tact, st.comp_tascore,
+        st.sel_valid[:r_pad], st.sel_steps[:r_pad], st.sel_pos[:r_pad],
+        st.overflow, st.lane_rounds, st.peak_in_use,
+    ]
+    return jnp.concatenate([as_i32(p) for p in parts])
+
+
+def _unpack_outputs(buf, b, ck, t1, s, r_pad):
+    """Invert `_pack_outputs` on host: np views, no copies beyond split."""
+    shapes = [
+        ((b, ck), bool), ((b, ck), np.float32), ((b, ck), np.int32),
+        ((b, ck, t1), np.int32), ((b, ck, t1), np.int32),
+        ((b, ck, t1), np.float32),
+        ((r_pad, b, s), bool), ((r_pad, b, s), np.int32),
+        ((r_pad, b, s, t1), np.int32),
+        ((b,), bool), ((b,), np.int32), ((b,), np.int32),
+    ]
+    out, off = [], 0
+    for shape, dt in shapes:
+        n = int(np.prod(shape))
+        chunk = buf[off:off + n]
+        off += n
+        if dt is bool:
+            out.append((chunk != 0).reshape(shape))
+        elif dt is np.float32:
+            out.append(chunk.view(np.float32).reshape(shape))
+        else:
+            out.append(chunk.reshape(shape))
+    assert off == buf.size
+    return out
+
+
 def _run_single(
     params,
     tables: vecenv.EnvTables,
@@ -784,25 +835,21 @@ def _run_single(
     )
     _t1 = time.perf_counter()
     # bulk host transfer of the small output tables.  Trajectories travel
-    # packed (one int32 plane instead of three) and the selection log is
+    # packed (one int32 plane instead of three), the selection log is
     # sliced to the rounds actually used, padded to a multiple of 64 so at
-    # most 5 slice programs ever compile — transfer time is the dominant
-    # per-dispatch cost over the tunneled backend.
-    get = lambda x: np.asarray(x)
+    # most 5 pack programs ever compile, and EVERYTHING crosses the wire
+    # as ONE int32 buffer (_pack_outputs) — transfer round-trips are the
+    # dominant per-dispatch cost over the tunneled backend (measured 2.7x
+    # vs per-array fetches, runs/README.md round 5).
     rounds = int(st.round)
     r_pad = min(max_rounds, -(-max(rounds, 1) // 64) * 64)
-    comp_in_use = get(st.comp_in_use)
-    comp_score = get(st.comp_score)
-    comp_steps = get(st.comp_steps)
-    comp_tn, comp_th, comp_te = _unpack_pos(get(st.comp_tpos))
-    comp_ta, comp_tas = get(st.comp_tact), get(st.comp_tascore)
-    sel_valid = get(st.sel_valid[:r_pad])
-    sel_steps = get(st.sel_steps[:r_pad])
-    sel_tn, sel_th, sel_te = _unpack_pos(get(st.sel_pos[:r_pad]))
-    overflow = get(st.overflow)
-    lane_rounds = get(st.lane_rounds)
-    peak_in_use = get(st.peak_in_use)
-    b = comp_in_use.shape[0]
+    buf = np.asarray(_pack_outputs(st, r_pad))
+    b, ck, t1 = st.comp_tpos.shape
+    (comp_in_use, comp_score, comp_steps, comp_tpos, comp_ta, comp_tas,
+     sel_valid, sel_steps, sel_pos, overflow, lane_rounds, peak_in_use,
+     ) = _unpack_outputs(buf, b, ck, t1, st.sel_valid.shape[2], r_pad)
+    comp_tn, comp_th, comp_te = _unpack_pos(comp_tpos)
+    sel_tn, sel_th, sel_te = _unpack_pos(sel_pos)
     sys.stderr.write(
         f"[fused_search]   B={b} dispatch {_t1 - _t0:.1f}s  fetch "
         f"{time.perf_counter() - _t1:.1f}s  rounds {rounds}/{max_rounds}  "

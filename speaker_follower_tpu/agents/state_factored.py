@@ -545,3 +545,30 @@ def physical_trajectory(traversed_list, candidate_hyp, graph):
         )
         for h in full
     ]
+
+
+def physical_trajectories(traversed_list, hyps, graph):
+    """Batched ``physical_trajectory`` over one instance's candidates.
+
+    All of an instance's candidates share the exploration prefix
+    (``traversed_list``, ~110 states at beam 40), so it is converted to
+    output tuples ONCE instead of once per candidate — the per-candidate
+    reconversion dominated the pragmatic pipeline's host traversal phase
+    (2.1 s median per 64-instruction batch on this 1-core host).
+    Element-for-element equal to per-candidate ``physical_trajectory``
+    (tests/test_state_factored.py)."""
+    def conv(h):
+        return (
+            graph.node_ids[h.node],
+            float(h.heading) * ANGLE_INC,
+            (float(h.elev) - 1.0) * ANGLE_INC,
+        )
+
+    prefix = [conv(h) for h in traversed_list]
+    last = traversed_list[-1]
+    out = []
+    for hyp in hyps:
+        path = least_common_viewpoint_path(last, hyp)
+        assert path[0].node == last.node and path[-1].node == hyp.node
+        out.append(prefix + [conv(h) for h in path[1:]])
+    return out

@@ -387,9 +387,11 @@ def run_rational_follower(
 
         for i, cands in enumerate(candidates):
             if physical_traversal:
-                for hyp, cand in zip(completed[i], cands):
-                    g = graph_bank.graphs[enc["scan_id"][i]]
-                    phys = sf.physical_trajectory(traversed[i], hyp, g)
+                g = graph_bank.graphs[enc["scan_id"][i]]
+                phys_list = sf.physical_trajectories(
+                    traversed[i], completed[i], g
+                )
+                for phys, cand in zip(phys_list, cands):
                     assert phys[-1][0] == cand["trajectory"][-1][0]
                     cand["trajectory"] = phys
             instr_id = enc["instr_id"][i]

@@ -117,6 +117,21 @@ def test_physical_trajectory_ends_at_candidate(world, search):
                 assert na == nb or bool(g.edges[na, nb])
 
 
+def test_physical_trajectories_batched_matches_per_candidate(world, search):
+    """The prefix-sharing batched variant is element-for-element equal to
+    per-candidate physical_trajectory."""
+    bank, tables, params, enc = world
+    candidates, completed_lists, traversed = search
+    for i in range(len(candidates)):
+        g = bank.graphs[enc["scan_id"][i]]
+        batched = sf.physical_trajectories(traversed[i], completed_lists[i], g)
+        singles = [
+            sf.physical_trajectory(traversed[i], hyp, g)
+            for hyp in completed_lists[i]
+        ]
+        assert batched == singles
+
+
 def test_retry_transient_only_retries_backend_codes():
     """Genuine program errors propagate on the first attempt; only XLA
     transport codes (INTERNAL/UNAVAILABLE/...) are retried (VERDICT r1

@@ -57,6 +57,25 @@ def make_arg_parser():
         "inference.rational_follower._resolve_score_chunk)",
     )
     parser.add_argument("--physical_traversal", action="store_true")
+    parser.add_argument(
+        "--include_gold", action="store_true",
+        help="prepend the teacher-forced gold trajectory as candidate 0 "
+        "of every instance, scored by both models "
+        "(rational_follower.py:35-56); incompatible with "
+        "--physical_traversal (see run_rational_follower)",
+    )
+    parser.add_argument(
+        "--compute_oracle", action="store_true",
+        help="also report the candidate-pool oracle: per instance pick "
+        "the min-nav_error candidate (rational_follower.py:158-174)",
+    )
+    parser.add_argument(
+        "--mask_undo", action="store_true",
+        help="flag parity with rational_follower.py:249; in the released "
+        "reference the flag only clones the logits and never masks "
+        "anything (follower.py:594-597, 812-815), so selection is "
+        "identical with or without it — accepted here as the same no-op",
+    )
     # --data_parallel comes from common.add_common_args; here it means:
     # shard every search/scoring dispatch over a data mesh of all visible
     # devices (requires --fused_search); params/tables replicated,
@@ -121,9 +140,14 @@ def validate_entry_point(args):
                 args.speaker_score_batch
                 if args.speaker_score_batch is not None else "auto"
             ),
+            include_gold=args.include_gold,
+            compute_oracle=args.compute_oracle,
         )
         pprint.pprint(acc)
-        weight, summary = max(acc.items(), key=lambda p: p[1]["success_rate"])
+        weight, summary = max(
+            (kv for kv in acc.items() if kv[0] != "oracle"),
+            key=lambda p: p[1]["success_rate"],
+        )
         print(f"max success_rate with weight: {weight}")
         for metric, val in summary.items():
             print(f"{env_name} {metric}\t{val}")

@@ -21,6 +21,19 @@ def make_arg_parser():
     parser.add_argument("follower_prefix")
     parser.add_argument("--beam_size", type=int, default=10)
     parser.add_argument("--output_file")
+    parser.add_argument(
+        "--include_gold", action="store_true",
+        help="prepend the teacher-force-scored gold instruction as "
+        "candidate 0 (rational_speaker.py:36-51; the reference registers "
+        "this flag but drops it at rational_speaker.py:142-144 — "
+        "implemented as intended here)",
+    )
+    parser.add_argument(
+        "--mask_undo", action="store_true",
+        help="flag parity with rational_speaker.py:206; dead in the "
+        "released reference (never read by the speaker path) — accepted "
+        "as the same no-op",
+    )
     parser.set_defaults(batch_size=30)
     return parser
 
@@ -49,6 +62,7 @@ def validate_entry_point(args):
             n_candidates=args.beam_size,
             use_glove=use_glove,
             output_file=output_file,
+            include_gold=args.include_gold,
         )
         pprint.pprint(scores_by_weight)
         weight, summary = max(scores_by_weight.items(), key=lambda p: p[1]["bleu"])

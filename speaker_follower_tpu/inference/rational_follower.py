@@ -315,6 +315,8 @@ def run_rational_follower(
     eval_file=None,
     speaker_score_batch: int | None | str = "auto",
     mesh=None,
+    include_gold: bool = False,
+    compute_oracle: bool = False,
 ):
     """Returns accuracies_by_weight, index_counts_by_weight
     (rational_follower.py:11-195).
@@ -329,9 +331,29 @@ def run_rational_follower(
     arrays shard over the mesh (requires ``fused_search``: the
     host-orchestrated search loop has per-round host logic that a mesh
     cannot help).  On a v5e-8 the per-dispatch search/scoring device
-    time divides ~8x; the host-side traversal replay is unchanged."""
+    time divides ~8x; the host-side traversal replay is unchanged.
+
+    ``include_gold`` (rational_follower.py:35-56): prepend each
+    instance's TEACHER-forced trajectory as candidate index 0, scored by
+    both models like any other candidate — the diagnostic for "is the
+    gold path even in the candidate pool".  ``compute_oracle``
+    (rational_follower.py:103-106,158-174): score every candidate's
+    trajectory with the evaluator and report the oracle pick (min
+    nav_error per instance) — the candidate-pool quality ceiling."""
     if physical_traversal and not state_factored_search:
         raise ValueError("physical_traversal requires state_factored_search")
+    if include_gold and physical_traversal:
+        # The reference indexes candidate_inf_states[instance][i] with i
+        # counting the INSERTED gold candidate at 0
+        # (rational_follower.py:53-56 vs :84-92), so the traversal
+        # backchain reads the wrong hypothesis for every beam candidate
+        # and overruns on the last — the combination was never runnable.
+        # Refuse it loudly rather than reproduce the misalignment.
+        raise ValueError(
+            "include_gold + physical_traversal is not supported (the "
+            "reference's own pairing misaligns candidate_inf_states, "
+            "rational_follower.py:84-92)"
+        )
     if mesh is not None:
         if state_factored_search and not fused_search:
             raise ValueError("mesh requires --fused_search (the host-"
@@ -366,6 +388,25 @@ def run_rational_follower(
             state_first_n_ws_key=state_first_n_ws_key, use_glove=use_glove,
             mesh=mesh,
         )
+        if include_gold:
+            # teacher-forced gold rollout, one batched dispatch; its score
+            # is the follower log-likelihood of the gold path (the same
+            # quantity follower._rollout_with_loss records per candidate)
+            from ..agents import rollout as ro
+
+            db = {
+                k: jnp.asarray(enc[k])
+                for k in ["scan", "start_node", "goal_node", "heading",
+                          "seq", "seq_mask", "seq_length"]
+            }
+            gout = ro.rollout(
+                follower_params, tables, db, jax.random.PRNGKey(0),
+                feedback="teacher", deterministic=True, use_glove=use_glove,
+            )
+            gold_cands = ro.trajectories_from_rollout(gout, enc, graph_bank)
+            for i, g in enumerate(gold_cands):
+                g["instr_encoding"] = enc["item"][i].get("instr_encoding")
+                candidates[i].insert(0, g)
         _t1 = time.perf_counter()
         # annotate candidates with replay coordinates for speaker scoring
         flat = []
@@ -445,6 +486,33 @@ def run_rational_follower(
             with open(eval_file % w, "w") as f:
                 pretty_json_dump(eval_results, f)
 
+    if compute_oracle:
+        # candidate-pool ceiling: pick each instance's min-nav_error
+        # candidate and score that selection (rational_follower.py:158-174)
+        import pprint as _pprint
+
+        oracle_results = {}
+        oracle_index_count = Counter()
+        for instr_id, cands in candidate_lists_by_instr_id.items():
+            for c in cands:
+                if "eval_result" not in c:
+                    c["eval_result"] = evaluator._score_item(
+                        instr_id, c["trajectory"]
+                    )._asdict()
+            best_ix, best = min(
+                enumerate(cands),
+                key=lambda t: t[1]["eval_result"]["nav_error"],
+            )
+            oracle_results[instr_id] = best
+            oracle_index_count[best_ix] += 1
+        oracle_summary, _ = evaluator.score_results(oracle_results)
+        print("oracle results:")
+        _pprint.pprint(oracle_summary)
+        _pprint.pprint(sorted(oracle_index_count.items()))
+        # under the string key so numeric-weight consumers can skip it
+        accuracies_by_weight["oracle"] = oracle_summary
+        index_counts_by_weight["oracle"] = oracle_index_count
+
     if output_file:
         dump = {}
         for instr_id, cands in candidate_lists_by_instr_id.items():
@@ -454,7 +522,7 @@ def run_rational_follower(
                     for k, v in c.items()
                     if not k.startswith("_") and k != "instr_encoding"
                 }
-                | {"rank": r}
+                | {"rank": r, "gold": bool(include_gold and r == 0)}
                 for r, c in enumerate(cands)
             ]
         with open(output_file, "w") as f:

@@ -100,9 +100,19 @@ def generate_and_score_candidates(
     max_instruction_length: int = 80,
     episode_len: int = EPISODE_LEN,
     use_glove: bool = True,
+    include_gold: bool = False,
 ):
     """candidate_lists_by_instr_id with speaker_score + follower_score
-    (rational_speaker.py:9-104)."""
+    (rational_speaker.py:9-104).
+
+    ``include_gold`` (rational_speaker.py:36-51): prepend the GOLD
+    instruction, teacher-force-scored by the speaker, as candidate 0 of
+    every instance; it is follower-rescored along with the beam
+    candidates.  NOTE: the reference registers this flag but its
+    entry point drops it when calling generate_and_score_candidates
+    (rational_speaker.py:142-144 passes positionally without it), so
+    released behavior never actually includes gold — implemented as
+    documented/intended here."""
     dataset.reset_epoch()
     candidate_lists_by_instr_id = {}
     looped = False
@@ -124,6 +134,30 @@ def generate_and_score_candidates(
             unroll_len=unroll, use_glove=use_glove,
         )
         cands_per_instance = sa.beam_results(result, enc["instr_id"], tokenizer)
+        if include_gold:
+            # speaker teacher-forced score of the gold instruction; the
+            # speaker consumes UNREVERSED encodings (encode_batch reverses
+            # for the follower), so rebatch from the raw items
+            from ..data.text import batch_instructions
+
+            encodings = [
+                np.asarray(it["instr_encoding"], np.int32)
+                for it in enc["item"]
+            ]
+            gseq, _, _ = batch_instructions(
+                encodings, max_instruction_length, reverse=False
+            )
+            gout = sa.score_instructions(
+                speaker_params, gold, jnp.asarray(gseq),
+                jax.random.PRNGKey(0), feedback="teacher",
+                instruction_len=max_instruction_length, unroll_len=unroll,
+                deterministic=True, use_glove=use_glove,
+            )
+            gold_results = sa.speaker_results_from_output(
+                gout, enc["instr_id"], tokenizer
+            )
+            for i, iid in enumerate(enc["instr_id"]):
+                cands_per_instance[i].insert(0, dict(gold_results[iid]))
 
         gold_actions = np.asarray(gold.actions)
         gold_len = np.asarray(gold.path_len)
@@ -187,11 +221,12 @@ def predict_from_candidates(candidate_lists_by_instr_id, speaker_weights=None):
 
 def run_rational_speaker(
     dataset, speaker_evaluator, speaker_params, follower_params, tables,
-    graph_bank, tokenizer, *, n_candidates=10, output_file=None, **kw
+    graph_bank, tokenizer, *, n_candidates=10, output_file=None,
+    include_gold=False, **kw
 ):
     candidate_lists = generate_and_score_candidates(
         dataset, speaker_params, follower_params, tables, graph_bank,
-        tokenizer, n_candidates=n_candidates, **kw
+        tokenizer, n_candidates=n_candidates, include_gold=include_gold, **kw
     )
     results_by_weight = predict_from_candidates(candidate_lists)
     scores_by_weight = {
@@ -203,7 +238,7 @@ def run_rational_speaker(
             dump = {
                 iid: [
                     {k: v for k, v in c.items() if not k.startswith("_")}
-                    | {"rank": r}
+                    | {"rank": r, "gold": bool(include_gold and r == 0)}
                     for r, c in enumerate(cands)
                 ]
                 for iid, cands in candidate_lists.items()

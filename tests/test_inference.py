@@ -142,6 +142,87 @@ def test_rational_follower_end_to_end(world, tmp_path):
             assert np.isfinite(summary["nav_error"])
 
 
+def test_rational_follower_include_gold_and_oracle(world, tmp_path):
+    """--include_gold / --compute_oracle (rational_follower.py:35-56,
+    158-174): gold is candidate 0 of every instance, and since the
+    teacher-forced gold trajectory ends at the goal, the oracle pick
+    over a pool containing it must be a 100% success rate."""
+    from speaker_follower_tpu.evaluation.follower_eval import Evaluation
+    from speaker_follower_tpu.inference.rational_follower import (
+        run_rational_follower,
+    )
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    full_bank = load_graph_bank(sorted(R2RDataset(["sub_val_seen"]).scans), CONN)
+    ev = Evaluation(["sub_val_seen"], full_bank)
+    ev.instr_ids = {d["instr_id"] for d in ds.data}
+
+    out_file = str(tmp_path / "cands.json")
+    acc, counts = run_rational_follower(
+        ds, ev, f_params, s_params, tables, bank,
+        beam_size=3, state_factored_search=True,
+        max_instruction_length=MAXLEN,
+        include_gold=True, compute_oracle=True, output_file=out_file,
+    )
+    assert acc["oracle"]["success_rate"] == 1.0
+    assert acc["oracle"]["nav_error"] == 0.0
+    # gold rank-0 tagging in the dump; scored like any other candidate
+    dump = json.load(open(out_file))
+    assert dump
+    for cands in dump.values():
+        assert cands[0]["gold"] is True
+        assert all(c["gold"] is False for c in cands[1:])
+        assert np.isfinite(cands[0]["speaker_score"])
+        assert np.isfinite(cands[0]["follower_score"])
+
+    # the reference's own include_gold+physical_traversal pairing
+    # misaligns candidate_inf_states — must refuse, not reproduce
+    with pytest.raises(ValueError, match="include_gold"):
+        run_rational_follower(
+            ds, ev, f_params, s_params, tables, bank,
+            beam_size=3, state_factored_search=True,
+            physical_traversal=True, include_gold=True,
+            max_instruction_length=MAXLEN,
+        )
+
+
+def test_rational_speaker_include_gold(world, tmp_path):
+    """--include_gold (rational_speaker.py:36-51, fixed here: the
+    reference entry point drops the flag at rational_speaker.py:142-144):
+    candidate 0 is the teacher-force-scored GOLD instruction."""
+    from speaker_follower_tpu.evaluation.speaker_eval import SpeakerEvaluation
+    from speaker_follower_tpu.inference.rational_speaker import (
+        run_rational_speaker,
+    )
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    sev = SpeakerEvaluation(["sub_val_seen"])
+    kept_ids = {d["instr_id"] for d in ds.data}
+    sev.instr_ids = kept_ids
+    by_instr = {d["instr_id"]: d for d in ds.data}
+
+    out_file = str(tmp_path / "spk_cands.json")
+    scores_by_weight, _ = run_rational_speaker(
+        ds, sev, s_params, f_params, tables, bank, tok,
+        n_candidates=3, max_instruction_length=MAXLEN,
+        include_gold=True, output_file=out_file,
+    )
+    assert len(scores_by_weight) == 21
+    dump = json.load(open(out_file))
+    assert dump
+    for iid, cands in dump.items():
+        assert cands[0]["gold"] is True
+        # gold word_indices = the instance's own encoding (truncated to
+        # the scoring window), EOS-terminated like the beam candidates
+        gold_enc = [
+            int(w) for w in by_instr[iid]["instr_encoding"][: MAXLEN - 1]
+        ]
+        got = cands[0]["word_indices"]
+        assert got[: len(gold_enc)] == gold_enc
+        assert np.isfinite(cands[0]["speaker_score"])
+        assert np.isfinite(cands[0]["follower_score"])
+
+
 def test_rational_speaker_end_to_end(world):
     from speaker_follower_tpu.evaluation.speaker_eval import SpeakerEvaluation
     from speaker_follower_tpu.inference.rational_speaker import (

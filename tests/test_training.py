@@ -101,6 +101,35 @@ def test_speaker_training_reduces_loss(world, tmp_path):
     assert "words" in some and "score" in some
 
 
+def test_speaker_gold_teacher_test_pass(world):
+    """The validate_speaker --gold_results_output_file leg: a TEACHER
+    decode (allow_cheat) must produce scoreable, JSON-dumpable results
+    whose word_indices are the gold instructions (reference
+    validate_speaker.py:12-25, the commented-out gold block)."""
+    import json
+
+    from speaker_follower_tpu.evaluation.speaker_eval import SpeakerEvaluation
+
+    vocab, tok, ds, bank, tables = world
+    params = init_speaker(
+        jax.random.PRNGKey(1), vocab_size=len(vocab),
+        action_embedding_size=FEAT_DIM + 128, feature_size=FEAT_DIM + 128,
+        word_embedding_size=16, hidden_size=32,
+    )
+    cfg = TrainConfig(
+        feedback="teacher", use_glove=False, no_save=True,
+        max_instruction_length=40,
+    )
+    trainer = SpeakerTrainer(params, tables, ds, bank, cfg, tokenizer=tok)
+    gold_results, _ = trainer.test(ds, feedback="teacher", allow_cheat=True)
+    assert len(gold_results) == len(ds)
+    ev = SpeakerEvaluation(["sub_val_seen"])
+    ev.instr_ids = {d["instr_id"] for d in ds.data}
+    summary, _ = ev.score_results(gold_results)
+    assert np.isfinite(summary["model_score"])
+    json.dumps(gold_results)  # the dump leg must serialize
+
+
 @pytest.mark.slow
 def test_frozen_embedding_stays_frozen(world):
     vocab, tok, ds, bank, tables = world

@@ -55,6 +55,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from speaker_follower_tpu.utils.compile_cache import enable_persistent_cache
+
+# Persistent XLA cache: steady-state numbers are unaffected (compile is
+# excluded from the timed windows), but the reported compile+first costs
+# drop to cache-load time on repeat runs of the same programs.
+_CACHE_DIR = enable_persistent_cache()
+
 REFERENCE_EPISODES_PER_SEC = 50000 * 100 / (50 * 3600)  # ~27.78
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (MXU); f32 ops run below this
 PEAK_HBM_BW = 819e9  # TPU v5e HBM bandwidth
@@ -140,7 +147,8 @@ def main():
     tables_train = vecenv.make_env_tables(bank, feats_bf16, pad_views=train_pallas)
     sys.stderr.write(
         f"[bench] {len(scans)} scans, {bank.total_nodes} nodes, "
-        f"setup {time.time() - t0:.1f}s, device={jax.devices()[0]}\n"
+        f"setup {time.time() - t0:.1f}s, device={jax.devices()[0]}, "
+        f"xla_cache={_CACHE_DIR or 'off'}\n"
     )
 
     params = init_follower(

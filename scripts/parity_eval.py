@@ -130,6 +130,10 @@ def main():
             {"cpu": "cpu", "tpu": "axon"}[args.platform],
         )
 
+    from speaker_follower_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     need, missing = _missing_artifacts(args.beam_size)
     dry_run = bool(missing) or args.force_dry_run
     mode = "DRY-RUN (synthetic stand-ins)" if dry_run else "REAL"

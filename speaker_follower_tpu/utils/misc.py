@@ -60,6 +60,15 @@ def run(arg_parser, entry_function):
     )
     sys.stdout.write("\n")
 
+    # Persistent XLA compilation cache for every CLI entry point: the
+    # fused-search/trainer programs cost seconds-to-minutes of compile
+    # per fresh process and never change between runs.
+    from .compile_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        sys.stdout.write(f"xla compilation cache: {cache_dir}\n")
+
     if args.ipdb:
         import ipdb
 

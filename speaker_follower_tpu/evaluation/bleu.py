@@ -86,3 +86,68 @@ def multi_bleu(multiple_references, hypotheses):
 
 def single_bleu(references, hypotheses):
     return multi_bleu([[ref] for ref in references], hypotheses)
+
+
+def read_file(fname):
+    """One tokenized sentence per line (bleu.py:36-38)."""
+    with open(fname) as f:
+        return [line.split() for line in f]
+
+
+def main(argv=None):
+    """Standalone scorer, the reference's ``python bleu.py ref hyp``
+    surface (bleu.py:74-110).  Prints one number: corpus BLEU in
+    [0, 100] by default, or the mean sentence-level BLEU with
+    ``--sentence_level``.
+
+    ``--nltk`` scores with nltk.translate.bleu_score instead (nltk's
+    scale is [0, 1]; printed as-is, like the reference).  Upstream
+    deviation, implemented as intended here: at corpus level the
+    reference computes the nltk score and then unconditionally
+    overwrites it with the perl-pipeline score (bleu.py:104-108 — the
+    assignment is not in an else), so its --nltk is dead without
+    --sentence_level."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("ref_fname")
+    parser.add_argument("hyp_fname")
+    parser.add_argument("--sentence_level", action="store_true")
+    parser.add_argument("--nltk", action="store_true")
+    args = parser.parse_args(argv)
+
+    refs = read_file(args.ref_fname)
+    hyps = read_file(args.hyp_fname)
+    if len(refs) != len(hyps):
+        raise SystemExit(
+            f"line-count mismatch: {len(refs)} references vs "
+            f"{len(hyps)} hypotheses"
+        )
+
+    if args.sentence_level:
+        if args.nltk:
+            import nltk
+
+            scores = [
+                nltk.translate.bleu_score.sentence_bleu([ref], hyp)
+                for ref, hyp in zip(refs, hyps)
+            ]
+        else:
+            scores = [
+                single_bleu([ref], [hyp])[0] for ref, hyp in zip(refs, hyps)
+            ]
+        result = sum(scores) / len(scores) if scores else 0.0
+    elif args.nltk:
+        import nltk
+
+        result = nltk.translate.bleu_score.corpus_bleu(
+            [[r] for r in refs], hyps
+        )
+    else:
+        result = single_bleu(refs, hyps)[0]
+
+    print(result)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,3 +133,57 @@ class TestFollowerEvaluation:
         data, bank, ev = setup
         with pytest.raises(AssertionError):
             ev.score_results({})
+
+
+class TestBleuCli:
+    """The standalone scorer surface (reference bleu.py:74-110)."""
+
+    def _write(self, tmp_path, refs, hyps):
+        rf, hf = tmp_path / "ref", tmp_path / "hyp"
+        rf.write_text("".join(" ".join(r) + "\n" for r in refs))
+        hf.write_text("".join(" ".join(h) + "\n" for h in hyps))
+        return str(rf), str(hf)
+
+    REFS = [
+        ["walk", "to", "the", "door", "and", "stop"],
+        ["turn", "left", "then", "stop", "there", "now"],
+    ]
+    HYPS = [
+        ["walk", "to", "the", "door", "and", "wait"],
+        ["turn", "left", "and", "stop", "there", "now"],
+    ]
+
+    def _run(self, capsys, *argv):
+        from speaker_follower_tpu.evaluation.bleu import main
+
+        main(list(argv))
+        return float(capsys.readouterr().out.strip())
+
+    def test_corpus_level_matches_single_bleu(self, tmp_path, capsys):
+        rf, hf = self._write(tmp_path, self.REFS, self.HYPS)
+        got = self._run(capsys, rf, hf)
+        assert got == single_bleu(self.REFS, self.HYPS)[0]
+
+    def test_sentence_level_is_mean_of_per_line(self, tmp_path, capsys):
+        rf, hf = self._write(tmp_path, self.REFS, self.HYPS)
+        got = self._run(capsys, rf, hf, "--sentence_level")
+        want = np.mean(
+            [single_bleu([r], [h])[0] for r, h in zip(self.REFS, self.HYPS)]
+        )
+        assert abs(got - want) < 1e-9
+
+    def test_nltk_corpus(self, tmp_path, capsys):
+        nltk = pytest.importorskip("nltk")
+        rf, hf = self._write(tmp_path, self.REFS, self.HYPS)
+        got = self._run(capsys, rf, hf, "--nltk")
+        want = nltk.translate.bleu_score.corpus_bleu(
+            [[r] for r in self.REFS], self.HYPS
+        )
+        assert abs(got - want) < 1e-9  # nltk scale [0,1], printed as-is
+
+    def test_line_count_mismatch_exits(self, tmp_path):
+        from speaker_follower_tpu.evaluation.bleu import main
+
+        rf, hf = self._write(tmp_path, self.REFS, self.HYPS[:1])
+        with pytest.raises(SystemExit, match="mismatch"):
+            main([rf, hf])

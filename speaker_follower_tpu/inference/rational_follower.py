@@ -62,15 +62,21 @@ def _resolve_score_chunk(
       stacked-gather program — the encoder gathers each step's pano rows
       inside its scan — and runs clean far past the fault point on the
       FULL 90-scan/10,800-node world: measured B=32/64/256/1024 all
-      survive (runs/probe_forced_fault_r4.log), so it gets the same
-      chunking as small worlds: one dispatch up to 1024 candidates,
-      1024-chunks beyond (the 1024 ceiling bounds per-dispatch HBM).
+      survive (runs/probe_forced_fault_r4.log), and the round-5 phase
+      probe extends that to B=2048/4096 with steady-state device time of
+      0.10/0.18 s per dispatch (runs/probe_score_phase_r5.log,
+      scripts/probe_score_phase.py — the 1.3-1.7 s per 1024-chunk in
+      runs/sf_beam40_r5.log was that session's tunnel round-trip cost,
+      not device time).  Ceiling 4096: one dispatch covers a full
+      beam-40 batch (64 x 40 = 2560 candidates), and per-dispatch HBM
+      stays bounded (largest transient is the per-step pano gather,
+      ~650 MB bf16 at 4096).
 
     Override per run with --speaker_score_batch.
     """
     if not lazy_features and (n_scans >= 58 or n_nodes >= 7600):
         return 16
-    return None if m <= 1024 else 1024
+    return None if m <= 4096 else 4096
 
 
 def speaker_score_candidates(
@@ -99,9 +105,9 @@ def speaker_score_candidates(
     fixed-shape chunks of this many candidates (compiled once, reused).
     "auto" (default) picks the largest safe dispatch via
     _resolve_score_chunk: with the lazy replay (default) one dispatch up
-    to 1024 candidates and 1024-chunks beyond, on ANY world — measured
-    clean at B=1024 on the full 90-scan world
-    (runs/probe_forced_fault_r4.log); with the materialized replay, 16
+    to 4096 candidates (a full beam-40 batch is 2560) and 4096-chunks
+    beyond, on ANY world — measured clean at B=4096 on the full 90-scan
+    world (runs/probe_score_phase_r5.log); with the materialized replay, 16
     on worlds matching the round-3 fault signature (its stacked-gather
     program faulted the axon worker at batch >= ~24 on >= ~61 scans,
     docs/ROUND3.md).  None = always one dispatch (the materialized

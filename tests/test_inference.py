@@ -348,9 +348,11 @@ def test_speaker_score_chunk_auto_resolution():
     the MATERIALIZED replay only (its stacked-gather program faulted the
     axon worker at B >= ~24 on >= ~61-scan worlds, docs/ROUND3.md); the
     lazy replay (the default) measured clean at B=32/64/256/1024 on the
-    full 90-scan world (runs/probe_forced_fault_r4.log), so it chunks
-    like small worlds everywhere: one dispatch up to 1024 candidates,
-    1024-chunks beyond (per-dispatch HBM bound)."""
+    full 90-scan world (runs/probe_forced_fault_r4.log) and at
+    B=2048/4096 with 0.10/0.18 s steady-state dispatches
+    (runs/probe_score_phase_r5.log), so it chunks like small worlds
+    everywhere: one dispatch up to 4096 candidates (a full beam-40
+    batch, 64 x 40 = 2560, is ONE dispatch), 4096-chunks beyond."""
     from speaker_follower_tpu.inference.rational_follower import (
         _resolve_score_chunk,
     )
@@ -360,15 +362,16 @@ def test_speaker_score_chunk_auto_resolution():
     assert _resolve_score_chunk(58, 4000, m=256, lazy_features=False) == 16
     assert _resolve_score_chunk(10, 7700, m=256, lazy_features=False) == 16
     assert _resolve_score_chunk(55, 7418, m=1024, lazy_features=False) is None
-    # lazy replay (default): no cap, even on the full 90-scan world
+    # lazy replay (default): no cap below 4096, even on the full world
     assert _resolve_score_chunk(90, 10800, m=1024) is None
     assert _resolve_score_chunk(61, 7829, m=8) is None
-    assert _resolve_score_chunk(90, 10800, m=2560) == 1024
-    # the 55-scan/7418-node sub-split val world: empirically safe at
-    # 1280-candidate single dispatches (round-2 beam-40 logs)
+    assert _resolve_score_chunk(90, 10800, m=2560) is None
+    assert _resolve_score_chunk(90, 10800, m=4096) is None
+    assert _resolve_score_chunk(90, 10800, m=5000) == 4096
+    # the 55-scan/7418-node sub-split val world
     assert _resolve_score_chunk(55, 7418, m=1024) is None
-    assert _resolve_score_chunk(55, 7418, m=2560) == 1024
-    assert _resolve_score_chunk(5, 500, m=2560) == 1024
+    assert _resolve_score_chunk(55, 7418, m=2560) is None
+    assert _resolve_score_chunk(5, 500, m=9000) == 4096
 
 
 def test_fused_teacher_scoring_matches_step_loop(world):

@@ -55,13 +55,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-from speaker_follower_tpu.utils.compile_cache import enable_persistent_cache
-
-# Persistent XLA cache: steady-state numbers are unaffected (compile is
-# excluded from the timed windows), but the reported compile+first costs
-# drop to cache-load time on repeat runs of the same programs.
-_CACHE_DIR = enable_persistent_cache()
-
 REFERENCE_EPISODES_PER_SEC = 50000 * 100 / (50 * 3600)  # ~27.78
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (MXU); f32 ops run below this
 PEAK_HBM_BW = 819e9  # TPU v5e HBM bandwidth
@@ -118,6 +111,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent XLA cache: steady-state numbers are unaffected (compile
+    # is excluded from the timed windows), but the reported compile+first
+    # costs drop to cache-load time on repeat runs of the same programs.
+    # After the preflight: enabling probes the backend, and a down tunnel
+    # must hit _await_tpu's bounded subprocess poll, not hang here.
+    from speaker_follower_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    cache_dir = enable_persistent_cache()
+
     from speaker_follower_tpu.agents.rollout import rollout
     from speaker_follower_tpu.data.graph import load_graph_bank
     from speaker_follower_tpu.env import vecenv
@@ -148,7 +152,7 @@ def main():
     sys.stderr.write(
         f"[bench] {len(scans)} scans, {bank.total_nodes} nodes, "
         f"setup {time.time() - t0:.1f}s, device={jax.devices()[0]}, "
-        f"xla_cache={_CACHE_DIR or 'off'}\n"
+        f"xla_cache={cache_dir or 'off'}\n"
     )
 
     params = init_follower(

@@ -49,6 +49,9 @@ def main():
 
     from speaker_follower_tpu.utils.compile_cache import enable_persistent_cache
 
+    # the probe's purpose is measuring the cache — force it on even on
+    # the (opt-in) CPU backend
+    os.environ.setdefault("SFNAV_XLA_CACHE", "1")
     d = enable_persistent_cache(args.dir)
     assert d == args.dir, d
     before = set(os.listdir(d)) if os.path.isdir(d) else set()

@@ -19,6 +19,14 @@ processes write zero new cache entries (pure hits).
 
 Env knobs:
   SFNAV_XLA_CACHE=0        disable entirely
+  SFNAV_XLA_CACHE=1        force on, INCLUDING the CPU backend (default
+                           is TPU/accelerator only: XLA:CPU AOT entries
+                           embed host machine-feature sets, and loading
+                           one recorded under a different feature
+                           detection warns of possible SIGILL — observed
+                           between same-host processes here; CPU
+                           compiles are seconds, so caching them buys
+                           little and risks that)
   SFNAV_XLA_CACHE_DIR=...  cache directory
                            (default ~/.cache/speaker_follower_tpu/xla)
 """
@@ -45,15 +53,21 @@ def enable_persistent_cache(cache_dir: str | None = None,
     cache must not take down a training run).
     """
     global _enabled_dir
-    if os.environ.get("SFNAV_XLA_CACHE", "1") == "0":
+    knob = os.environ.get("SFNAV_XLA_CACHE", "")
+    if knob == "0":
         return None
     if _enabled_dir is not None:
         return _enabled_dir
     path = cache_dir or os.environ.get("SFNAV_XLA_CACHE_DIR", _DEFAULT_DIR)
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
 
+        if jax.default_backend() == "cpu" and knob != "1":
+            # CPU AOT cache entries embed machine-feature sets; loading
+            # one recorded under a different feature detection warns of
+            # possible SIGILL (observed same-host).  Opt in explicitly.
+            return None
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_secs

@@ -18,6 +18,9 @@ from speaker_follower_tpu.utils import compile_cache
 def _fresh(monkeypatch, **env):
     for k in ("SFNAV_XLA_CACHE", "SFNAV_XLA_CACHE_DIR"):
         monkeypatch.delenv(k, raising=False)
+    # tests run on the CPU backend, where caching is opt-in (CPU AOT
+    # entries embed machine-feature sets; see compile_cache docstring)
+    monkeypatch.setenv("SFNAV_XLA_CACHE", env.pop("SFNAV_XLA_CACHE", "1"))
     for k, v in env.items():
         monkeypatch.setenv(k, v)
     return importlib.reload(compile_cache)
@@ -61,3 +64,12 @@ def test_cache_entry_written(monkeypatch, tmp_path):
     finally:
         # don't leave a zero-threshold cache live for later tests
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_cpu_backend_is_optin(monkeypatch, tmp_path):
+    # default (no SFNAV_XLA_CACHE): disabled on the CPU backend
+    mod = _fresh(monkeypatch)
+    monkeypatch.delenv("SFNAV_XLA_CACHE", raising=False)
+    mod = importlib.reload(compile_cache)
+    assert jax.default_backend() == "cpu"
+    assert mod.enable_persistent_cache(str(tmp_path / "x")) is None

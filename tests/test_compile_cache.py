@@ -11,8 +11,30 @@ import importlib
 import os
 
 import jax
+import pytest
 
 from speaker_follower_tpu.utils import compile_cache
+
+
+@pytest.fixture(autouse=True)
+def _restore_jax_cache_config():
+    """Undo the global jax.config mutations these tests make.
+
+    enable_persistent_cache() flips process-global config; leaving the
+    CPU AOT cache live for the rest of the suite reproduces the exact
+    SIGILL/SIGSEGV hazard the module docstring documents (observed as a
+    segfault in the cache-read path under a later, unrelated test).
+    """
+    keys = (
+        "jax_compilation_cache_dir",
+        "jax_persistent_cache_min_compile_time_secs",
+        "jax_persistent_cache_min_entry_size_bytes",
+    )
+    saved = {k: getattr(jax.config, k) for k in keys}
+    yield
+    for k, v in saved.items():
+        jax.config.update(k, v)
+    compile_cache._enabled_dir = None
 
 
 def _fresh(monkeypatch, **env):
@@ -51,19 +73,15 @@ def test_cache_entry_written(monkeypatch, tmp_path):
     mod = _fresh(monkeypatch)
     d = str(tmp_path / "entries")
     mod.enable_persistent_cache(d, min_compile_secs=0.0)
-    try:
 
-        @jax.jit
-        def f(x):
-            return (x * 2.0 + 1.0).sum()
+    @jax.jit
+    def f(x):
+        return (x * 2.0 + 1.0).sum()
 
-        import numpy as np
+    import numpy as np
 
-        f(np.ones((8, 8), np.float32)).block_until_ready()
-        assert os.listdir(d), "no cache entry written"
-    finally:
-        # don't leave a zero-threshold cache live for later tests
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    f(np.ones((8, 8), np.float32)).block_until_ready()
+    assert os.listdir(d), "no cache entry written"
 
 
 def test_cpu_backend_is_optin(monkeypatch, tmp_path):

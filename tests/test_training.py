@@ -447,7 +447,7 @@ def test_speaker_device_interval_matches_per_step(world):
         enc = tr2._encode_speaker_batch(tr2.train_ds.next_minibatch())
         gold, instr_seq, unroll_len = tr2._gold_and_instr(enc)
         p, o, loss = tr2._step_fn(p, o, gold, instr_seq, keys[1 + i],
-                                  unroll_len=unroll_len)
+                                  tr2.tables, unroll_len=unroll_len)
         host_losses.append(float(loss))
 
     # the 3 chained losses are the semantic check (loss at step i sees the

@@ -978,6 +978,25 @@ class SpeakerTrainer:
                 )
                 val_loss_avg = float(np.mean(val_losses)) if val_losses else 0.0
                 self.data_log["%s loss" % env_name].append(val_loss_avg)
+                # best-by-val-loss snapshot (beyond reference parity: the
+                # reference keys speaker snapshots on decode BLEU only,
+                # train_speaker.py:134-151, but pragmatic RESCORING consumes
+                # the speaker's likelihood, which val teacher-forced loss
+                # measures directly; runs/sf_beam40_oracle_r5.log shows the
+                # rescorer, not the candidate pool, binds accuracy)
+                loss_key = (env_name, "loss")
+                if (loss_key not in best_metrics
+                        or val_loss_avg < best_metrics[loss_key]):
+                    best_metrics[loss_key] = val_loss_avg
+                    if not cfg.no_save:
+                        path = os.path.join(
+                            cfg.snapshot_dir,
+                            "%s_%s_iter_%d_%s-loss=%.4f"
+                            % (cfg.model_prefix, split_string, it,
+                               env_name, val_loss_avg),
+                        )
+                        ckpt.save_params(path, self.params)
+                        _drop_superseded_best(last_model_saved, loss_key, path)
                 results, _ = self.test(val_ds, feedback="argmax")
                 summary, _ = evaluator.score_results(results)
                 loss_str += ", %s loss: %.4f" % (env_name, val_loss_avg)

@@ -461,6 +461,50 @@ def test_speaker_device_interval_matches_per_step(world):
                                    rtol=1e-2, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_speaker_best_loss_snapshot(world, tmp_path):
+    """Speaker training keys snapshots on val BLEU (reference parity,
+    train_speaker.py:134-151) AND on val teacher-forced loss — the
+    quantity pragmatic rescoring actually consumes (the speaker scores
+    candidate trajectories by likelihood, never by decoding).  Both best
+    trackers must rotate: exactly one surviving snapshot per key."""
+    from speaker_follower_tpu.evaluation.speaker_eval import SpeakerEvaluation
+
+    vocab, tok, ds, bank, tables = world
+    params = init_speaker(
+        jax.random.PRNGKey(1), vocab_size=len(vocab), word_embedding_size=16,
+        hidden_size=32, action_embedding_size=FEAT_DIM + 128,
+        feature_size=FEAT_DIM + 128,
+    )
+    cfg = TrainConfig(
+        feedback="teacher", use_glove=False, no_save=False,
+        max_instruction_length=40, log_every=2, save_every=0,
+        snapshot_dir=str(tmp_path), model_prefix="sp",
+    )
+    ev = SpeakerEvaluation(["sub_val_seen"])
+    ev.instr_ids = {d["instr_id"] for d in ds.data}
+    trainer = SpeakerTrainer(params, tables, ds, bank, cfg, tokenizer=tok,
+                             val_envs={"val": (ds, ev)},
+                             rng=jax.random.PRNGKey(3))
+    best = trainer.train(4, log_every=2)
+
+    assert ("val", "loss") in best and ("val", "bleu") in best
+    snaps = sorted(os.listdir(tmp_path))
+    loss_snaps = [s for s in snaps if "-loss=" in s]
+    bleu_snaps = [s for s in snaps if "-bleu=" in s]
+    # rotation: the superseded best is deleted, one snapshot per key
+    assert len(loss_snaps) == 1, snaps
+    assert len(bleu_snaps) == 1, snaps
+    # the surviving loss snapshot carries the best (latest-improved) value
+    assert "%.4f" % best[("val", "loss")] in loss_snaps[0]
+    # and it round-trips through the checkpoint loader with the live tree
+    from speaker_follower_tpu.training import checkpoint as ckpt
+
+    loaded = ckpt.load_params(os.path.join(str(tmp_path), loss_snaps[0]))
+    assert (jax.tree_util.tree_structure(loaded)
+            == jax.tree_util.tree_structure(trainer.params))
+
+
 def test_follower_device_eval_matches_host(world):
     """Scanned eval epoch (one dispatch) == per-minibatch host loop:
     identical result sets and trajectories (argmax eval is deterministic,

@@ -80,11 +80,25 @@ def make_arg_parser():
     # shard every search/scoring dispatch over a data mesh of all visible
     # devices (requires --fused_search); params/tables replicated,
     # per-instance arrays split over the mesh.
+    parser.add_argument(
+        "--speaker_weights", type=lambda s: tuple(float(x) for x in s.split(",")),
+        default=(0.0, 0.95),
+        help="comma-separated speaker mixture weights to evaluate (the "
+             "reference hardcodes [0., 0.95], rational_follower.py:131; "
+             "candidate scoring runs once, so extra weights cost only the "
+             "host-side argmax + eval pass each)",
+    )
     parser.add_argument("--output_file")
     parser.add_argument("--eval_file")
     parser.add_argument(
         "--val_splits", nargs="+", default=None,
         help="restrict evaluation to these splits (default: all val splits)",
+    )
+    parser.add_argument(
+        "--first_n", type=int, default=None,
+        help="evaluate only the first N instructions of each split "
+             "(smoke/debug runs; the evaluator is trimmed to match so its "
+             "completeness assert still holds over the subset)",
     )
     parser.set_defaults(batch_size=30)
     return parser
@@ -118,9 +132,17 @@ def validate_entry_point(args):
             else None
         )
         output_file = f"{args.output_file}_{env_name}.json" if args.output_file else None
+        evaluator = Evaluation([env_name], bank)
+        if args.first_n is not None:
+            ds = datasets[env_name]
+            ds.data = ds.data[: args.first_n]
+            keep_ids = {d["instr_id"] for d in ds.data}
+            evaluator.instr_ids = {
+                i for i in evaluator.instr_ids if i in keep_ids
+            }
         acc, counts = run_rational_follower(
             datasets[env_name],
-            Evaluation([env_name], bank),
+            evaluator,
             follower_params,
             speaker_params,
             tables,
@@ -142,6 +164,7 @@ def validate_entry_point(args):
             ),
             include_gold=args.include_gold,
             compute_oracle=args.compute_oracle,
+            speaker_weights=args.speaker_weights,
         )
         pprint.pprint(acc)
         weight, summary = max(

@@ -49,3 +49,13 @@ def test_rational_follower_data_parallel_flag_parses():
         ["F", "S", "--data_parallel", "--fused_search", "--beam_size", "40"]
     )
     assert args.data_parallel and args.fused_search and args.beam_size == 40
+
+
+def test_rational_follower_speaker_weights_flag():
+    mod = importlib.import_module("speaker_follower_tpu.cli.rational_follower")
+    args = mod.make_arg_parser().parse_args(["F", "S"])
+    assert args.speaker_weights == (0.0, 0.95)  # reference default
+    args = mod.make_arg_parser().parse_args(
+        ["F", "S", "--speaker_weights", "0,0.25,0.5,0.75,0.95,1.0"]
+    )
+    assert args.speaker_weights == (0.0, 0.25, 0.5, 0.75, 0.95, 1.0)

@@ -95,6 +95,12 @@ def make_arg_parser():
         help="restrict evaluation to these splits (default: all val splits)",
     )
     parser.add_argument(
+        "--ensemble_speakers", nargs="+", default=None, metavar="PREFIX",
+        help="additional speaker checkpoint prefixes; candidates are "
+             "rescored by every member and the log-likelihoods averaged "
+             "(geometric-mean product-of-experts) before the mixture",
+    )
+    parser.add_argument(
         "--first_n", type=int, default=None,
         help="evaluate only the first N instructions of each split "
              "(smoke/debug runs; the evaluator is trimmed to match so its "
@@ -113,6 +119,10 @@ def validate_entry_point(args):
     )
     follower_params = ckpt.load_params(args.follower_prefix)
     speaker_params = ckpt.load_params(args.speaker_prefix)
+    if args.ensemble_speakers:
+        speaker_params = [speaker_params] + [
+            ckpt.load_params(p) for p in args.ensemble_speakers
+        ]
     use_glove = not args.use_train_subset
     mesh = None
     if args.data_parallel:

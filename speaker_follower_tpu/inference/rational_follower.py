@@ -346,6 +346,18 @@ def run_rational_follower(
     (rational_follower.py:103-106,158-174): score every candidate's
     trajectory with the evaluator and report the oracle pick (min
     nav_error per instance) — the candidate-pool quality ceiling."""
+    # speaker_params: one param tree, or a list/tuple of trees for an
+    # ENSEMBLE rescorer (beyond reference parity): each member scores
+    # every candidate independently (one extra set of scoring dispatches
+    # per member — the trajectory replay is identical, only the scoring
+    # matmuls differ) and the per-candidate log-likelihoods are averaged,
+    # i.e. a geometric-mean product-of-experts. Averaging in log space
+    # keeps the downstream std-normalized mixture semantics unchanged.
+    speaker_ensemble = (
+        list(speaker_params)
+        if isinstance(speaker_params, (list, tuple))
+        else [speaker_params]
+    )
     if physical_traversal and not state_factored_search:
         raise ValueError("physical_traversal requires state_factored_search")
     if include_gold and physical_traversal:
@@ -367,7 +379,7 @@ def run_rational_follower(
         from ..parallel import mesh as pm
 
         follower_params = pm.replicate(mesh, follower_params)
-        speaker_params = pm.replicate(mesh, speaker_params)
+        speaker_ensemble = [pm.replicate(mesh, sp) for sp in speaker_ensemble]
         tables = type(tables)(
             *[jax.device_put(x, pm.replicated(mesh)) for x in tables]
         )
@@ -422,11 +434,16 @@ def run_rational_follower(
                 cand["_start_node"] = int(enc["start_node"][i])
                 cand["_heading"] = int(enc["heading"][i])
                 flat.append(cand)
-        speaker_scores = speaker_score_candidates(
-            speaker_params, tables, flat,
-            max_instruction_length=max_instruction_length, use_glove=use_glove,
-            max_device_batch=speaker_score_batch, mesh=mesh,
-        )
+        member_scores = [
+            speaker_score_candidates(
+                sp, tables, flat,
+                max_instruction_length=max_instruction_length,
+                use_glove=use_glove,
+                max_device_batch=speaker_score_batch, mesh=mesh,
+            )
+            for sp in speaker_ensemble
+        ]
+        speaker_scores = np.mean(np.asarray(member_scores), axis=0)
         for cand, s in zip(flat, speaker_scores):
             cand["follower_score"] = cand["score"]
             cand["speaker_score"] = float(s)

@@ -519,3 +519,44 @@ def test_lazy_features_scoring_matches_materialized(world):
     live = ~np.asarray(g_lazy.path_mask)
     w = np.where(live[:, :, None, None], w, 0.0)
     np.testing.assert_array_equal(w, np.asarray(g_mat.world_features))
+
+
+def test_rational_follower_speaker_ensemble(world):
+    """Ensemble rescoring semantics: a 2-member ensemble of the SAME
+    speaker must reproduce the single-speaker run exactly (mean of
+    identical log-likelihoods is the identity), and a mixed ensemble
+    must evaluate without error at every weight.  Beyond reference
+    parity — the reference scores with exactly one speaker."""
+    from speaker_follower_tpu.evaluation.follower_eval import Evaluation
+    from speaker_follower_tpu.inference.rational_follower import (
+        run_rational_follower,
+    )
+
+    vocab, tok, ds, bank, tables, f_params, s_params = world
+    full_bank = load_graph_bank(sorted(R2RDataset(["sub_val_seen"]).scans), CONN)
+    ev = Evaluation(["sub_val_seen"], full_bank)
+    ev.instr_ids = {d["instr_id"] for d in ds.data}
+
+    kw = dict(beam_size=3, max_instruction_length=MAXLEN)
+    single, _ = run_rational_follower(
+        ds, ev, f_params, s_params, tables, bank, **kw)
+    dup, _ = run_rational_follower(
+        ds, ev, f_params, [s_params, s_params], tables, bank, **kw)
+    assert single.keys() == dup.keys()
+    for w in single:
+        for metric in single[w]:
+            np.testing.assert_allclose(
+                single[w][metric], dup[w][metric], rtol=1e-6,
+                err_msg=f"duplicate-member ensemble diverged at {w}/{metric}",
+            )
+
+    other = init_speaker(
+        jax.random.PRNGKey(7), vocab_size=len(vocab),
+        action_embedding_size=FEAT + 128, feature_size=FEAT + 128,
+        word_embedding_size=16, hidden_size=32,
+    )
+    mixed, _ = run_rational_follower(
+        ds, ev, f_params, [s_params, other], tables, bank, **kw)
+    for w, summary in mixed.items():
+        assert 0.0 <= summary["success_rate"] <= 1.0
+        assert np.isfinite(summary["nav_error"])
